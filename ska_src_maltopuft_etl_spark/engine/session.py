@@ -1,0 +1,67 @@
+"""SparkSession factory.
+
+The reference executes eagerly on a single node (SURVEY.md §4.2); here the
+session is configured for a distributed, optimizer-driven engine:
+
+- **UTC session timezone** — required for datetime-kernel parity with the
+  reference, which pins ``Datetime("us", "UTC")`` everywhere
+  (reference: src/ska_src_maltopuft_etl/meertrap/observation/extract.py:115-121).
+- **AQE on** (coalesce partitions + skew-join handling) so plans re-optimize
+  from runtime statistics at any scale factor.
+- **Arrow on** for the few pandas-UDF paths (vectorized batch transfer).
+- ``spark.sql.shuffle.partitions`` defaults small for local testing; on a
+  real cluster AQE's coalescing makes the initial number mostly moot, and
+  callers can override via ``conf``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep broadcast autodetection on; dimension tables in both the
+    # reference schema (sb/obs/beam/host) and the test star schema
+    # (region/nation/supplier) are broadcast-sized.
+    "spark.sql.autoBroadcastJoinThreshold": "64MB",
+    "spark.sql.shuffle.partitions": "32",
+    # Parquet scans: allow large-enough splits that small SFs don't
+    # fragment into thousands of empty tasks, while 100 TB inputs still
+    # split per-rowgroup.
+    "spark.sql.files.maxPartitionBytes": "128MB",
+    # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written event logs)
+    # are otherwise an illegal type for the Spark reader; read them as
+    # long nanos and let sources.testdata normalize to TimestampType.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "ska_src_maltopuft_etl_spark",
+    master: str | None = None,
+    conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults applied.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and no
+    cluster manager is configured — on a real deployment the master comes
+    from spark-submit and this argument is left None.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_MASTER" not in os.environ:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    if master:
+        builder = builder.master(master)
+    merged = dict(_DEFAULTS)
+    if conf:
+        merged.update(conf)
+    for k, v in merged.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

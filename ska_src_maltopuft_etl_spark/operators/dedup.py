@@ -1,0 +1,89 @@
+"""Deduplication + surrogate-key operators (SURVEY.md §2.6 W1-W5).
+
+Reference semantics:
+
+- W1 ordered dedup keep-first:
+  sort("processed_at").unique(subset=[...], keep="first")
+  (meertrap/candidate/transform.py:33-62)
+- W2 keep-first by sort order (meertrap/observation/transform.py:30-50)
+- W3 unordered dedup: unique(subset=...) (observation/transform.py:190-193)
+- W5 surrogate key = 1-based row index
+  (with_row_index sites listed in SURVEY.md §2.6)
+
+Scale notes: keep-first dedup is a window row_number over the subset —
+one shuffle on the subset keys, map-side partial skipping via AQE.
+Surrogate keys over a *global* order are inherently sequential; at
+reference scale a single-partition window is fine, and
+``surrogate_key(..., scalable=True)`` switches to the partition-offset
+(zipWithIndex-style) technique: two narrow passes, no single-partition
+bottleneck, same contiguous 1-based numbering.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order_by: Sequence[Column | str]) -> list[Column]:
+    return [F.col(c).asc_nulls_last() if isinstance(c, str) else c for c in order_by]
+
+
+def dedup_keep_first(
+    df: DataFrame,
+    subset: Sequence[str],
+    order_by: Sequence[Column | str],
+) -> DataFrame:
+    """Keep the first row per ``subset`` group under ``order_by``.
+
+    ``order_by`` must be a total order within each group for deterministic
+    results (SURVEY.md §7.3 risk 1) — pass a tiebreaker column; the
+    operator does not invent one.
+    """
+    w = Window.partitionBy(*subset).orderBy(*_order_cols(order_by))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def surrogate_key(
+    df: DataFrame,
+    name: str,
+    order_by: Sequence[Column | str],
+    offset: int = 1,
+    scalable: bool = False,
+) -> DataFrame:
+    """Add a contiguous ``offset``-based integer key following a
+    deterministic global order (reference W5 ``with_row_index``).
+
+    - default: ``row_number`` over a global window — exact parity, fine
+      at dimension-table scale (the reference's frames);
+    - ``scalable=True``: sort, then per-partition row numbers + exclusive
+      prefix-sum of partition counts (the classic zipWithIndex technique
+      done in the DataFrame API via ``spark_partition_id``): no
+      single-partition window, suitable for billions of rows.
+    """
+    ordered = _order_cols(order_by)
+    if not scalable:
+        w = Window.orderBy(*ordered)
+        return df.withColumn(name, (F.row_number().over(w) + offset - 1).cast("long"))
+
+    sorted_df = df.repartitionByRange(*ordered).sortWithinPartitions(*ordered)
+    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
+    w_local = Window.partitionBy("__pid").orderBy(*ordered)
+    local = with_pid.withColumn("__local_rn", F.row_number().over(w_local))
+    # exclusive prefix sum of partition sizes — tiny aggregate, broadcast.
+    sizes = local.groupBy("__pid").count()
+    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = sizes.withColumn("__poffset", F.coalesce(F.sum("count").over(w_cum), F.lit(0))).drop(
+        "count"
+    )
+    return (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(name, (F.col("__local_rn") + F.col("__poffset") + offset - 1).cast("long"))
+        .drop("__pid", "__local_rn", "__poffset")
+    )

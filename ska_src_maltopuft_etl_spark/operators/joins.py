@@ -1,0 +1,252 @@
+"""Join operators Spark lacks as primitives, built scale-first.
+
+Reference semantics reproduced (SURVEY.md §2.4):
+
+- J5 interval (range) join — reference implements it as a per-row Python
+  loop over the parent frame, O(n·m)
+  (meertrap/observation/transform.py:203-221,316-321).
+- J6 backward as-of join with by-keys — reference uses Polars
+  ``join_asof`` (meertrap/candidate/transform.py:107-136).
+- J9/F17 key remap with identity fallback — reference uses a driver-side
+  dict + per-row ``map_elements`` (core/database_loader.py:182-188).
+- J1-J4 cardinality-validated equi-joins — Polars ``validate="1:m"`` etc.
+  (meertrap/observation/transform.py:38-104).
+
+Scale notes:
+
+- ``asof_join_backward`` uses the union + last(ignoreNulls) window
+  technique: ONE shuffle on the by-keys, no range-join row explosion, no
+  broadcast requirement. It scales to arbitrarily large both-sides as long
+  as a single (by-key) group's rows fit in an executor's sort spill —
+  which Spark handles by external sort. This beats the range-join +
+  row_number formulation, whose intermediate blowup is O(matches).
+- ``interval_join`` is an equi+range join: with by-keys it is a plain
+  shuffled equi-join with a residual range filter; without by-keys the
+  small side should be broadcast (the caller passes ``broadcast_right``).
+"""
+
+from __future__ import annotations
+
+from typing import Literal, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class CardinalityError(ValueError):
+    """Join cardinality validation failed (mirrors Polars ``validate=``)."""
+
+
+# ---------------------------------------------------------------------------
+# As-of join (J6)
+# ---------------------------------------------------------------------------
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_on: str,
+    right_on: str,
+    by: Sequence[str] = (),
+    tolerance_seconds: float | None = None,
+    allow_exact_matches: bool = True,
+    right_prefix: str = "",
+) -> DataFrame:
+    """For each left row, attach the right row with the greatest
+    ``right_on`` <= ``left_on`` within the same ``by`` group.
+
+    Implementation ("union trick", one shuffle, no row explosion):
+
+    1. Tag right rows with a marker and union both sides on
+       (by-keys, event time, marker, payload-struct).
+    2. Sort within each by-group by (time, marker) — right rows sort
+       before left rows at equal times when ``allow_exact_matches`` —
+       and propagate the last non-null right payload with
+       ``last(..., ignoreNulls=True)``.
+    3. Keep left rows; unpack the propagated right payload.
+
+    All right columns (except the by-keys) come back ``right_prefix``-ed;
+    rows with no match get NULLs (left-join semantics, matching Polars
+    ``join_asof``). ``tolerance_seconds`` drops matches older than the
+    tolerance (timestamps only).
+    """
+    by = list(by)
+    lcols = left.columns
+    rcols = [c for c in right.columns if c not in by]
+    out_rcols = {c: f"{right_prefix}{c}" for c in rcols}
+    if set(out_rcols.values()) & set(lcols):
+        clash = set(out_rcols.values()) & set(lcols)
+        raise ValueError(f"right columns clash with left: {sorted(clash)}; pass right_prefix")
+
+    # marker: right=0 sorts before left=1 at equal times → exact matches
+    # visible to left rows. With allow_exact_matches=False, invert.
+    r_marker, l_marker = (0, 1) if allow_exact_matches else (1, 0)
+
+    r_tagged = right.select(
+        *[F.col(c) for c in by],
+        F.col(right_on).alias("__t"),
+        F.lit(r_marker).alias("__m"),
+        F.struct(*[F.col(c) for c in rcols]).alias("__rpayload"),
+        F.lit(None).cast(
+            left.select(F.struct(*[F.col(c) for c in lcols]).alias("s")).schema["s"].dataType
+        ).alias("__lpayload"),
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in by],
+        F.col(left_on).alias("__t"),
+        F.lit(l_marker).alias("__m"),
+        F.lit(None).cast(
+            right.select(F.struct(*[F.col(c) for c in rcols]).alias("s")).schema["s"].dataType
+        ).alias("__rpayload"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__lpayload"),
+    )
+
+    unioned = r_tagged.unionByName(l_tagged)
+    w = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
+    w = w.orderBy(F.col("__t"), F.col("__m")).rowsBetween(Window.unboundedPreceding, 0)
+    # last(ignoreNulls) skips structs that are NULL; right rows carry a
+    # non-null struct, left rows carry NULL __rpayload → wrap so the whole
+    # struct is NULL for left rows.
+    matched = unioned.withColumn(
+        "__match",
+        F.last(
+            F.when(
+                F.col("__rpayload").isNotNull(),
+                F.struct(F.col("__t").alias("__rt"), F.col("__rpayload").alias("__rp")),
+            ),
+            ignorenulls=True,
+        ).over(w),
+    )
+
+    out = matched.where(F.col("__lpayload").isNotNull())
+    if tolerance_seconds is not None:
+        within = (
+            F.col("__t").cast("double") - F.col("__match.__rt").cast("double")
+        ) <= F.lit(float(tolerance_seconds))
+        out = out.withColumn("__match", F.when(within, F.col("__match")))
+
+    sel: list[Column] = [F.col(f"__lpayload.{c}").alias(c) for c in lcols]
+    sel += [F.col(c) for c in by if c not in lcols]
+    sel += [F.col(f"__match.__rp.{c}").alias(out_rcols[c]) for c in rcols]
+    return out.select(*sel)
+
+
+# ---------------------------------------------------------------------------
+# Interval join (J5)
+# ---------------------------------------------------------------------------
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    how: Literal["inner", "left"] = "left",
+    tie_break: str | None = None,
+    tie_break_desc: bool = False,
+    broadcast_right: bool = True,
+    right_prefix: str = "",
+) -> DataFrame:
+    """Join each left row to right rows whose [start, end] interval
+    contains ``left_ts``; optionally keep one match per left row.
+
+    Reference J5 finds the parent schedule block of each observation with
+    a per-row Python filter loop (observation/transform.py:203-221). Here
+    it is a declarative non-equi join Catalyst can plan:
+
+    - with ``by`` keys → shuffled equi-join + residual range predicate;
+    - without → broadcast-nested-loop; pass ``broadcast_right=True``
+      (dimension side small — schedule blocks, in the reference).
+
+    ``tie_break`` picks a single match per left row (row_number == 1 over
+    the tie-break ordering), making the operator deterministic when
+    intervals overlap.
+    """
+    by = list(by)
+    rcols = [c for c in right.columns if c not in by]
+    renamed = right
+    for c in rcols:
+        renamed = renamed.withColumnRenamed(c, f"{right_prefix}{c}") if right_prefix else renamed
+    rstart = f"{right_prefix}{right_start}"
+    rend = f"{right_prefix}{right_end}"
+
+    rhs = F.broadcast(renamed) if broadcast_right else renamed
+    cond = (F.col(rstart) <= left[left_ts]) & (F.col(rend) >= left[left_ts])
+    for k in by:
+        cond = cond & (left[k] == renamed[k])
+    joined = left.join(rhs, cond, how)
+    if by:
+        joined = joined.drop(*[renamed[k] for k in by])
+
+    if tie_break is not None:
+        tb = f"{right_prefix}{tie_break}"
+        order = F.col(tb).desc_nulls_last() if tie_break_desc else F.col(tb).asc_nulls_last()
+        w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(order)
+        joined = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return joined
+
+
+# ---------------------------------------------------------------------------
+# Cardinality-validated equi-join (J1-J4)
+# ---------------------------------------------------------------------------
+
+def validated_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str] | str,
+    how: str = "inner",
+    expect: Literal["1:1", "1:m", "m:1", "m:m"] = "m:m",
+) -> DataFrame:
+    """Equi-join with Polars-style ``validate=`` cardinality checking.
+
+    Catalyst has no join-cardinality assertion (SURVEY.md §4.3), so the
+    uniqueness of the join keys on the constrained side(s) is checked with
+    cheap count-distinct aggregates before joining. Raises
+    :class:`CardinalityError` on violation.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+
+    def _unique(df: DataFrame, side: str) -> None:
+        cnt = df.groupBy(*on).count().where(F.col("count") > 1).limit(1).count()
+        if cnt:
+            raise CardinalityError(
+                f"join keys {on} not unique on {side} side (expect={expect})"
+            )
+
+    if expect in ("1:1", "1:m"):
+        _unique(left, "left")
+    if expect in ("1:1", "m:1"):
+        _unique(right, "right")
+    return left.join(right, on, how)
+
+
+# ---------------------------------------------------------------------------
+# Key remap (J9 / F17)
+# ---------------------------------------------------------------------------
+
+def remap_keys(
+    df: DataFrame,
+    key_col: str,
+    keymap: DataFrame,
+    old_col: str = "old",
+    new_col: str = "new",
+) -> DataFrame:
+    """Replace ``key_col`` values via a mapping table, keeping the
+    original value when unmapped (``mapping.get(x, x)`` semantics).
+
+    The reference holds the map as a driver dict and applies it per row
+    (core/database_loader.py:182-188, tests/test_map_keys.py:7-57) — a
+    non-starter at scale. Here it is a broadcast left join + coalesce:
+    distributed, single map-side stage, no driver state.
+    """
+    mapping = keymap.select(
+        F.col(old_col).alias("__old"), F.col(new_col).alias("__new")
+    ).dropDuplicates(["__old"])
+    out = df.join(F.broadcast(mapping), df[key_col] == F.col("__old"), "left")
+    return out.withColumn(
+        key_col, F.coalesce(F.col("__new"), F.col(key_col))
+    ).drop("__old", "__new")

@@ -1,0 +1,3 @@
+from ska_src_maltopuft_etl_spark.sources.testdata import load_table, load_tables
+
+__all__ = ["load_table", "load_tables"]

@@ -1,0 +1,48 @@
+"""Readers for the star-schema test tables (TESTDATA.md).
+
+One parquet file per table under ``<sf_dir>/``. The only normalization
+applied is nanosecond-timestamp repair: parquet TIMESTAMP(NANOS) columns
+(written by pandas/arrow) are not a legal Spark type, so the session reads
+them as long nanos (``spark.sql.legacy.parquet.nanosAsLong``) and this
+loader converts them back to microsecond ``TimestampType`` — the same
+truncation DuckDB applies, keeping the oracle comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Columns stored as TIMESTAMP(NANOS) in the test parquet, surfaced as
+# long nanos by the legacy reader conf.
+_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
+    "events": ("ts",),
+}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANO_TS_COLUMNS.get(name, ()):
+        field = dict(df.dtypes).get(col)
+        if field == "bigint":
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+            )
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

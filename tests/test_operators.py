@@ -1,0 +1,147 @@
+"""Operator tests: as-of join, interval join, dedup, surrogate keys,
+validated joins, key remap (SURVEY.md §2.4/2.6)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from ska_src_maltopuft_etl_spark.operators import (
+    CardinalityError,
+    asof_join_backward,
+    dedup_keep_first,
+    interval_join,
+    remap_keys,
+    surrogate_key,
+    validated_join,
+)
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture()
+def obs(spark):
+    # right side of the as-of join: observation starts per (beam, coherent)
+    return spark.createDataFrame(
+        [
+            (1, True, ts("2023-11-20 21:00:00"), 101),
+            (1, True, ts("2023-11-20 22:00:00"), 102),
+            (2, True, ts("2023-11-20 21:30:00"), 201),
+            (1, False, ts("2023-11-20 21:15:00"), 301),
+        ],
+        "beam int, coherent boolean, t_min timestamp, beam_id int",
+    )
+
+
+def test_asof_backward_basic(spark, obs):
+    cand = spark.createDataFrame(
+        [
+            (1, True, ts("2023-11-20 21:30:00"), "a"),   # → 21:00 (101)
+            (1, True, ts("2023-11-20 22:00:00"), "b"),   # exact → 22:00 (102)
+            (1, True, ts("2023-11-20 20:59:59"), "c"),   # before all → null
+            (2, True, ts("2023-11-20 23:00:00"), "d"),   # → 201
+            (1, False, ts("2023-11-20 21:20:00"), "e"),  # → 301
+        ],
+        "beam int, coherent boolean, observed_at timestamp, name string",
+    )
+    out = asof_join_backward(
+        cand, obs, "observed_at", "t_min", by=["beam", "coherent"]
+    )
+    got = {r["name"]: r["beam_id"] for r in out.collect()}
+    assert got == {"a": 101, "b": 102, "c": None, "d": 201, "e": 301}
+    assert out.count() == cand.count()  # left-join semantics, no explosion
+
+
+def test_asof_backward_no_exact(spark, obs):
+    cand = spark.createDataFrame(
+        [(1, True, ts("2023-11-20 22:00:00"), "b")],
+        "beam int, coherent boolean, observed_at timestamp, name string",
+    )
+    out = asof_join_backward(
+        cand, obs, "observed_at", "t_min", by=["beam", "coherent"],
+        allow_exact_matches=False,
+    )
+    assert out.first()["beam_id"] == 101
+
+
+def test_asof_tolerance(spark, obs):
+    cand = spark.createDataFrame(
+        [(1, True, ts("2023-11-20 21:30:00"), "a")],
+        "beam int, coherent boolean, observed_at timestamp, name string",
+    )
+    out = asof_join_backward(
+        cand, obs, "observed_at", "t_min", by=["beam", "coherent"],
+        tolerance_seconds=60,
+    )
+    assert out.first()["beam_id"] is None  # 30 min > 60 s tolerance
+
+
+def test_interval_join_tiebreak(spark):
+    sb = spark.createDataFrame(
+        [
+            (1, ts("2023-11-20 21:00:00"), ts("2023-11-20 22:00:00")),
+            (2, ts("2023-11-20 21:30:00"), ts("2023-11-20 23:00:00")),
+        ],
+        "sb_id int, start_at timestamp, est_end_at timestamp",
+    )
+    o = spark.createDataFrame(
+        [(ts("2023-11-20 21:45:00"), "x"), (ts("2023-11-20 20:00:00"), "y")],
+        "t_min timestamp, tag string",
+    )
+    out = interval_join(
+        o, sb, "t_min", "start_at", "est_end_at",
+        tie_break="start_at", tie_break_desc=True,
+    )
+    got = {r["tag"]: r["sb_id"] for r in out.collect()}
+    assert got == {"x": 2, "y": None}  # latest-starting containing block wins
+
+
+def test_dedup_keep_first(spark):
+    df = spark.createDataFrame(
+        [("k1", 2, "late"), ("k1", 1, "early"), ("k2", 5, "only")],
+        "key string, processed_at int, tag string",
+    )
+    out = dedup_keep_first(df, ["key"], ["processed_at", "tag"])
+    got = {r["key"]: r["tag"] for r in out.collect()}
+    assert got == {"k1": "early", "k2": "only"}
+
+
+def test_surrogate_key_modes(spark):
+    df = spark.createDataFrame([(c,) for c in "dacb"], "c string")
+    simple = surrogate_key(df, "id", ["c"])
+    assert {(r["c"], r["id"]) for r in simple.collect()} == {
+        ("a", 1), ("b", 2), ("c", 3), ("d", 4),
+    }
+    scalable = surrogate_key(df, "id", ["c"], scalable=True)
+    assert {(r["c"], r["id"]) for r in scalable.collect()} == {
+        ("a", 1), ("b", 2), ("c", 3), ("d", 4),
+    }
+
+
+def test_surrogate_key_scalable_large(spark):
+    n = 10_000
+    df = spark.range(n).select((F.col("id") * 37 % n).alias("k"))
+    out = surrogate_key(df, "sk", ["k"], scalable=True)
+    rows = out.orderBy("sk").collect()
+    assert [r["sk"] for r in rows] == list(range(1, n + 1))
+    assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
+
+
+def test_validated_join(spark):
+    left = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+    right = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "id int, w int")
+    out = validated_join(left, right, "id", expect="1:m")
+    assert out.count() == 3
+    with pytest.raises(CardinalityError):
+        validated_join(right, left, "id", expect="1:m")
+
+
+def test_remap_keys(spark):
+    df = spark.createDataFrame([(1,), (2,), (99,)], "fk int")
+    keymap = spark.createDataFrame([(1, 11), (2, 22)], "old int, new int")
+    out = remap_keys(df, "fk", keymap)
+    assert sorted(r["fk"] for r in out.collect()) == [11, 22, 99]
