@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline benchmark: run the engine's query battery at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is materialized via a count-style action (collect for small
+results) so the full plan executes; timings are wall-clock per query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ska_src_maltopuft_etl_spark.engine import get_spark
+from ska_src_maltopuft_etl_spark.plans import QUERIES
+
+# Queries that return wide per-row results at bench scale: count() them
+# instead of collecting to the driver.
+_COUNT_ONLY_OVER = 100_000
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = None
+    spark = get_spark(app_name="bench", conf={"spark.ui.enabled": "false"})
+
+    timings: dict[str, float] = {}
+    for name, spec in QUERIES.items():
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        if n <= _COUNT_ONLY_OVER:
+            df.collect()
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_battery_wall_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

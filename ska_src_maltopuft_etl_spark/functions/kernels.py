@@ -115,8 +115,13 @@ def mjd_to_timestamp(mjd: Column | str) -> Column:
 
 
 def timestamp_to_mjd(ts: Column | str, decimals: int | None = None) -> Column:
-    """UTC timestamp → MJD float days (inverse of :func:`mjd_to_timestamp`)."""
-    mjd = _col(ts).cast("double") / _SECONDS_PER_DAY + _MJD_UNIX_EPOCH
+    """UTC timestamp → MJD float days (inverse of :func:`mjd_to_timestamp`).
+
+    Computed from integer epoch-micros (exact in double below 2^53) with a
+    single division, so any engine evaluating the same formula gets the
+    bit-identical IEEE result.
+    """
+    mjd = F.unix_micros(_col(ts)) / F.lit(_SECONDS_PER_DAY * 1e6) + F.lit(_MJD_UNIX_EPOCH)
     return F.round(mjd, decimals) if decimals is not None else mjd
 
 

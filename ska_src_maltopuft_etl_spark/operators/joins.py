@@ -50,6 +50,7 @@ def asof_join_backward(
     tolerance_seconds: float | None = None,
     allow_exact_matches: bool = True,
     right_prefix: str = "",
+    right_tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """For each left row, attach the right row with the greatest
     ``right_on`` <= ``left_on`` within the same ``by`` group.
@@ -67,7 +68,9 @@ def asof_join_backward(
     All right columns (except the by-keys) come back ``right_prefix``-ed;
     rows with no match get NULLs (left-join semantics, matching Polars
     ``join_asof``). ``tolerance_seconds`` drops matches older than the
-    tolerance (timestamps only).
+    tolerance (timestamps only). ``right_tiebreak`` columns make the
+    winner among equal-``right_on`` right rows deterministic (the row
+    with the greatest tiebreak value wins).
     """
     by = list(by)
     lcols = left.columns
@@ -102,7 +105,10 @@ def asof_join_backward(
 
     unioned = r_tagged.unionByName(l_tagged)
     w = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
-    w = w.orderBy(F.col("__t"), F.col("__m")).rowsBetween(Window.unboundedPreceding, 0)
+    order = [F.col("__t"), F.col("__m")]
+    # equal-time right rows: greatest tiebreak sorts last → wins last().
+    order += [F.col(f"__rpayload.{c}").asc_nulls_first() for c in right_tiebreak]
+    w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
     # last(ignoreNulls) skips structs that are NULL; right rows carry a
     # non-null struct, left rows carry NULL __rpayload → wrap so the whole
     # struct is NULL for left rows.

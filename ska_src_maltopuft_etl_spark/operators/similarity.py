@@ -1,0 +1,268 @@
+"""Similarity search + near-duplicate detection over documents and
+embedding columns.
+
+Design for 100 TB:
+
+- ``ngram_shingles`` / ``jaccard_pairs``: the exact path — explode
+  distinct shingles, self-equi-join on the shingle (shuffle co-located),
+  hash-agg intersections. The join key is the shingle, so common
+  shingles are the skew risk; callers can drop ultra-frequent shingles
+  (document-frequency cap) exactly like stopword removal.
+- ``minhash_signatures`` / ``lsh_candidate_pairs``: the approximate path —
+  per-doc signature is a single hash-agg; banding turns all-pairs into an
+  equi-join on (band, band-hash), i.e. candidates only. This is the
+  standard shingle→minhash→band→bucket-join pipeline.
+- ``cosine_topk_bruteforce``: exact ANN baseline — broadcast the (small)
+  query set against the corpus, fold the dot product with higher-order
+  functions (JVM-side, no Python). The LSH-bucketed variant
+  (``cosine_topk_lsh``) buckets by random-hyperplane signs so each query
+  only scans its bucket — the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ska_src_maltopuft_etl_spark.operators.text import tokens
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact Jaccard
+# ---------------------------------------------------------------------------
+
+def ngram_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle)."""
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__toks"))
+    shingles = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(-1))),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("__toks", (i + k + 1).cast("int")) for k in range(n)]
+                ),
+            )
+        ).alias("shingle"),
+    )
+    return shingles.dropDuplicates([id_col, "shingle"])
+
+
+def jaccard_pairs(
+    shingles: DataFrame,
+    id_col: str,
+    min_intersection: int = 2,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact pairwise Jaccard over a (id, shingle) set table.
+
+    Returns (doc_a, doc_b, intersection, jaccard) for unordered pairs
+    with intersection >= min_intersection and jaccard >= threshold.
+    """
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+    a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
+    b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("intersection"))
+        .where(F.col("intersection") >= min_intersection)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("__sz").alias("__sza"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__sz").alias("__szb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("intersection")
+                / (F.col("__sza") + F.col("__szb") - F.col("intersection")).cast("double"),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (approximate near-dup)
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, num_hashes: int = 16
+) -> DataFrame:
+    """MinHash signature per doc: for k in [0,num_hashes), min over
+    shingles of xxhash64(k || shingle). One explode + one hash-agg."""
+    hashed = shingles.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k"),
+        F.col("shingle"),
+    ).withColumn("h", F.xxhash64(F.concat_ws(":", F.col("k"), F.col("shingle"))))
+    return (
+        hashed.groupBy(id_col, "k")
+        .agg(F.min("h").alias("minh"))
+        .groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("k", "minh"))), lambda s: s["minh"]
+            ).alias("signature")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, id_col: str, band_size: int = 4
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Equi-join on (band index, band hash): only near-duplicates collide,
+    so the join output is ~linear in true-duplicate count, not O(n²).
+    """
+    n = band_size
+    banded = signatures.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.floor(F.size("signature") / n).cast("int") - 1),
+                lambda b: F.xxhash64(
+                    F.concat_ws(",", F.slice(F.col("signature"), b * n + 1, n))
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.select(F.col(id_col).alias("doc_a"), "band", "band_hash")
+    b = banded.select(F.col(id_col).alias("doc_b"), "band", "band_hash")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding cosine similarity
+# ---------------------------------------------------------------------------
+
+def _as_double_vec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def l2_norm(vec: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(vec, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    decimals: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Broadcast queries × corpus, JVM-side fold for the dot product,
+    window top-k with (similarity desc, id asc) tie-break. Rounding
+    happens *before* ranking so ranking is deterministic.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double_vec(F.col(vec_col)).alias("__qv")
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double_vec(F.col(vec_col)).alias("__cv")
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), decimals
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def cosine_topk_lsh(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    num_planes: int = 8,
+    seed: int = 42,
+    decimals: int = 5,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing.
+
+    Bucket id = sign bits of `num_planes` fixed pseudo-random
+    hyperplanes (deterministic from ``seed``); each query scans only its
+    bucket — at 100 TB the crossJoin becomes an equi-join on the bucket
+    key. Recall is tunable via ``num_planes`` (fewer planes → bigger
+    buckets → higher recall/cost).
+    """
+    dim_df = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    dim = dim_df.first()["d"]
+    import random
+
+    rng = random.Random(seed)
+    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+    def bucket(vec: Column) -> Column:
+        bits = []
+        for p in planes:
+            plane = F.array(*[F.lit(x) for x in p])
+            bits.append(
+                F.when(_dot(_as_double_vec(vec), plane) >= 0, F.lit("1")).otherwise(
+                    F.lit("0")
+                )
+            )
+        return F.concat(*bits)
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("__qv"),
+        bucket(F.col(vec_col)).alias("__bucket"),
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_vec(F.col(vec_col)).alias("__cv"),
+        bucket(F.col(vec_col)).alias("__bucket"),
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = q.join(c, "__bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")), decimals
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

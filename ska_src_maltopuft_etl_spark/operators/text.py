@@ -1,0 +1,164 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All hot-path logic is native Column expressions (codegen'd, JVM-side):
+tokenization via split, hashing via md5, per-row folds via higher-order
+functions — no Python UDFs. Each operator is demonstrated against a
+DuckDB oracle in plans/llmops.py.
+
+Scale notes: everything here is embarrassingly parallel per-row except
+``simhash_bits``'s aggregation formulation (used when token weights must
+be combined across a shuffle); the per-row variant keeps simhash inside
+a single projection.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokens with empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(c, sep), lambda w: w != "")
+
+
+def token_count_ws(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def token_count_bpe_ish(text: Column | str) -> Column:
+    """BPE-ish token estimate: runs of letters, runs of digits, or single
+    non-space symbols (the pre-tokenizer split most BPE vocabularies use)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+
+
+def sum_token_lengths(text: Column | str) -> Column:
+    return F.aggregate(
+        F.transform(tokens(text), lambda w: F.length(w)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+
+
+def stopword_ratio(text: Column | str, stopwords: Sequence[str]) -> Column:
+    toks = tokens(text)
+    stops = F.array(*[F.lit(w) for w in stopwords])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stops, w)))
+    return n_stop.cast("double") / F.size(toks).cast("double")
+
+
+def quality_score(
+    text: Column | str,
+    stopwords: Sequence[str] = ("the", "a"),
+    target_tokens: int = 100,
+) -> Column:
+    """Heuristic quality score in [0,1]: mix of stopword density (fluent
+    text has some) and length saturation. Deterministic arithmetic —
+    mirrors the SQL oracle op-for-op."""
+    n = token_count_ws(text).cast("double")
+    stop = stopword_ratio(text, stopwords)
+    length_sat = F.least(n / F.lit(float(target_tokens)), F.lit(1.0))
+    return F.round(0.5 * stop + 0.5 * length_sat, 4)
+
+
+def language_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    markers: Mapping[str, Sequence[str]],
+) -> DataFrame:
+    """Marker-token language ID (n-gram-free heuristic).
+
+    Counts marker-word hits per candidate language and picks the argmax
+    with (count desc, lang asc) tie-break; docs hitting no markers get
+    'unknown'. Pure explode + hash-agg: one shuffle on (id, lang), no
+    driver-side state, linear in token count — scales to any corpus.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+    marker_rows = [(lang, w) for lang, ws in markers.items() for w in ws]
+    mdf = df.sparkSession.createDataFrame(marker_rows, ["__lang", "__w"])
+    scores = (
+        tok.join(F.broadcast(mdf), "__w")
+        .groupBy(id_col, "__lang")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("__cnt").desc(), F.col("__lang").asc())
+    best = (
+        scores.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(id_col), F.col("__lang").alias("pred_lang"), F.col("__cnt").alias("marker_hits"))
+    )
+    return (
+        df.select(id_col)
+        .join(best, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("pred_lang", F.lit("unknown")).alias("pred_lang"),
+            F.coalesce("marker_hits", F.lit(0)).alias("marker_hits"),
+        )
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 over the sorted
+    distinct token set. Robust to token shuffling — the classic
+    "fingerprint method" for near-identical record clustering."""
+    toks = F.array_sort(F.array_distinct(tokens(text)))
+    return F.md5(F.concat_ws(" ", toks))
+
+
+def simhash_bits(df: DataFrame, id_col: str, text_col: str, nbits: int = 64) -> DataFrame:
+    """64-bit SimHash per document, emitted as a '0'/'1' bit-string.
+
+    Token hash = md5 (hex) — chosen over xxhash64 so the DuckDB oracle
+    can reproduce it bit-for-bit. For each bit j, the j-th bit of the
+    token hash votes ±(token count); the sign of the vote sum is the
+    simhash bit. Formulated as explode(token) × explode(bit) → hash-agg:
+    two narrow projections + one shuffle on (id, j); at 100 TB the
+    shuffle keys are (doc, 64) — fully parallel, no skew (uniform j).
+    """
+    tok_counts = (
+        df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("__w"))
+        .groupBy(id_col, "__w")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .withColumn("__h", F.md5(F.col("__w")))
+    )
+    bits = tok_counts.select(
+        F.col(id_col),
+        F.col("__cnt"),
+        F.col("__h"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("__j"),
+    )
+    digit = (
+        F.conv(F.substring(F.col("__h"), (F.col("__j") / 4).cast("int") + 1, 1), 16, 10)
+    ).cast("int")
+    # bit j of the hex digit; shiftright needs a literal count, so use
+    # integer division by 2^(3 - j%4) instead.
+    divisor = (
+        F.when(F.col("__j") % 4 == 0, F.lit(8))
+        .when(F.col("__j") % 4 == 1, F.lit(4))
+        .when(F.col("__j") % 4 == 2, F.lit(2))
+        .otherwise(F.lit(1))
+    )
+    bit = F.floor(digit / divisor).cast("int").bitwiseAND(F.lit(1))
+    votes = bits.withColumn("__vote", F.col("__cnt") * (2 * bit - 1))
+    summed = votes.groupBy(id_col, "__j").agg(F.sum("__vote").alias("__s"))
+    chars = summed.select(
+        F.col(id_col),
+        F.col("__j"),
+        F.when(F.col("__s") > 0, F.lit("1")).otherwise(F.lit("0")).alias("__b"),
+    )
+    return chars.groupBy(id_col).agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__j", "__b"))), lambda s: s["__b"]
+            ),
+        ).alias("simhash")
+    )

@@ -1,0 +1,306 @@
+"""Training-data pipeline queries: dedup family, similarity search, text
+analysis, multimodal plumbing — each backed by a DuckDB oracle where the
+semantics are exact, rows-only where approximate (minhash LSH, plane-LSH
+ANN).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ska_src_maltopuft_etl_spark.operators import multimodal, similarity, text
+from ska_src_maltopuft_etl_spark.plans.registry import register
+from ska_src_maltopuft_etl_spark.sources import load_table
+
+LANG_MARKERS = {
+    "en": ["the", "a"],
+    "de": ["table", "batch"],
+    "es": ["data", "value"],
+    "fr": ["line", "merge"],
+    "zh": ["vector", "hash"],
+}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+    SELECT md5(text) AS fingerprint, MIN(doc_id) AS kept_doc_id, COUNT(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+    covers=("S4", "W3"),
+    description="exact dedup: content-hash groupBy, keep min id (file-md5-dedup parity: observation/extract.py:60-77)",
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("kept_doc_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[u.g] || ' ' || toks[u.g+1] || ' ' || toks[u.g+2] AS shingle
+      FROM t, UNNEST(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+    SELECT i.doc_a, i.doc_b, i.intersection,
+           ROUND(i.intersection / CAST(sa.sz + sb.sz - i.intersection AS DOUBLE), 6) AS jaccard
+    FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+                 JOIN sizes sb ON sb.doc_id = i.doc_b
+    """,
+    covers=("R1", "A2", "J1"),
+    description="exact n-gram Jaccard near-dup pairs via shingle self-join",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    return similarity.jaccard_pairs(sh, "doc_id", min_intersection=2)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=None,  # approximate: engine-hash-dependent → rows-only check
+    covers=("S4", "W3"),
+    description="MinHash(16) + LSH(4-bands) candidate pairs verified by exact jaccard",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    sigs = similarity.minhash_signatures(sh, "doc_id", num_hashes=16)
+    cands = similarity.lsh_candidate_pairs(sigs, "doc_id", band_size=4)
+    exact = similarity.jaccard_pairs(sh, "doc_id", min_intersection=1)
+    return cands.join(exact, ["doc_a", "doc_b"], "left").select(
+        "doc_a", "doc_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY doc_id, w),
+    votes AS (
+      SELECT doc_id, u.j AS j,
+             SUM(cnt * (2 * ((strpos('0123456789abcdef',
+                                     substr(md5(w), CAST(u.j // 4 AS INT) + 1, 1)) - 1
+                              >> CAST(3 - (u.j % 4) AS INT)) & 1) - 1)) AS s
+      FROM toks, UNNEST(generate_series(0, 63)) AS u(j)
+      GROUP BY doc_id, u.j)
+    SELECT doc_id,
+           string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+    covers=("S4",),
+    description="64-bit SimHash per doc (md5-based, oracle-reproducible)",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return text.simhash_bits(d, "doc_id", "text")
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+             list_filter(string_split(text, ' '), w -> w <> ''))), ' ')) AS fingerprint
+    FROM documents
+    """,
+    covers=("S4",),
+    description="order-insensitive doc fingerprint (sorted distinct token set hash)",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_counts",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+    covers=("F3", "A2"),
+    description="whitespace + BPE-ish regex token counting",
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_ws_tokens"),
+        text.token_count_bpe_ish("text").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           ROUND(0.5 * (n_stop / CAST(n_tokens AS DOUBLE))
+                 + 0.5 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality
+    FROM t
+    """,
+    covers=("P4", "P7"),
+    description="heuristic quality score: stopword density + length saturation",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        text.token_count_ws("text").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    WITH m(lang, w) AS (VALUES
+      ('en','the'),('en','a'),('de','table'),('de','batch'),
+      ('es','data'),('es','value'),('fr','line'),('fr','merge'),
+      ('zh','vector'),('zh','hash')),
+    toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents),
+    scores AS (
+      SELECT t.doc_id, m.lang, COUNT(*) AS cnt
+      FROM toks t JOIN m ON t.w = m.w GROUP BY t.doc_id, m.lang),
+    best AS (
+      SELECT doc_id, lang, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lang ASC) AS rn
+      FROM scores)
+    SELECT d.doc_id,
+           COALESCE(b.lang, 'unknown') AS pred_lang,
+           COALESCE(b.cnt, 0) AS marker_hits
+    FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1
+    """,
+    covers=("J9", "W1"),
+    description="marker-token language ID with deterministic argmax",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return text.language_scores(d, "doc_id", "text", LANG_MARKERS)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+@register(
+    "knn_cosine_bruteforce",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])), 5) AS cosine
+           FROM q CROSS JOIN c),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+    """,
+    covers=("J1", "W1"),
+    description="exact brute-force cosine top-5 (ANN baseline)",
+)
+def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=5)
+
+
+@register(
+    "knn_cosine_lsh",
+    oracle=None,  # approximate (bucketed) → rows-only check
+    covers=("J1",),
+    description="random-hyperplane LSH-bucketed approximate cosine top-5 (scale path)",
+)
+def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_lsh(q, c, "vec_id", "embedding", k=5, num_planes=4)
+
+
+@register(
+    "embedding_stats",
+    oracle="""
+    SELECT vec_id,
+           ROUND(sqrt(list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+                                                    x -> x * x), 'sum')), 6) AS l2_norm,
+           ROUND(list_aggregate(CAST(embedding AS DOUBLE[]), 'sum') / len(embedding), 6) AS mean_val,
+           label
+    FROM embeddings
+    """,
+    covers=("P4",),
+    description="vector norms/means via higher-order folds (JVM-side)",
+)
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.round(similarity.l2_norm(vec), 6).alias("l2_norm"),
+        F.round(
+            F.aggregate(vec, F.lit(0.0), lambda a, x: a + x) / F.size("embedding"), 6
+        ).alias("mean_val"),
+        "label",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode_features",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           ascii(substr(text, 1, 1)) AS first_byte,
+           CAST(octet_length(encode(text)) % 251 AS INT) AS tag
+    FROM documents
+    """,
+    covers=("S1", "R5"),
+    description="binary media column → Arrow-batched mapInPandas decode (deterministic stub codec)",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    with_payload = multimodal.with_binary_payload(d, "text")
+    return multimodal.decode_binary_features(with_payload, "doc_id", "payload")

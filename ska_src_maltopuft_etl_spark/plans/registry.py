@@ -1,0 +1,55 @@
+"""Query registry — the driver-checked operator inventory.
+
+Each :class:`QuerySpec` pairs a Spark DataFrame program with the
+equivalent ANSI SQL the DuckDB oracle runs on the same parquet tables
+(SURVEY.md §2 operator IDs in each spec's ``covers``). Specs with
+``oracle=None`` are non-SQL-expressible (approximate / engine-specific)
+and get the driver's weaker rows-only check.
+
+Determinism rules applied throughout (so order-insensitive value hashes
+match across engines):
+
+- every aggregate / float expression is rounded with an explicit scale,
+  and the arithmetic is written with the same operation order on both
+  sides (IEEE doubles: same ops + same order = same bits);
+- every top-k / keep-first has a total-order tie-break;
+- timestamps are emitted as epoch micros (bigint) or formatted strings,
+  never raw timestamp objects.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    covers: tuple[str, ...] = ()
+    description: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    covers: tuple[str, ...] = (),
+    description: str = "",
+):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = QuerySpec(name, fn, oracle, covers, description)
+        return fn
+
+    return deco
+
+
+# Populate the registry.
+from ska_src_maltopuft_etl_spark.plans import relational  # noqa: E402,F401
+from ska_src_maltopuft_etl_spark.plans import llmops  # noqa: E402,F401

@@ -1,0 +1,760 @@
+"""Relational / operator-inventory queries (SURVEY.md §2.3-§2.9).
+
+Every query here demonstrates one or more reference operators on the
+driver's star-schema testdata, with a DuckDB oracle. The Spark side is
+written declaratively (DataFrame API) so Catalyst handles pushdown,
+pruning, and join planning; broadcast hints mark genuinely small
+dimensions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ska_src_maltopuft_etl_spark import functions as K
+from ska_src_maltopuft_etl_spark.operators import (
+    asof_join_backward,
+    dedup_keep_first,
+    interval_join,
+    remap_keys,
+    surrogate_key,
+    validated_join,
+)
+from ska_src_maltopuft_etl_spark.plans.registry import register
+from ska_src_maltopuft_etl_spark.sources import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Aggregation pipelines (P1/P4/A2, TPC-H flavor)
+# ---------------------------------------------------------------------------
+
+@register(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                      AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                                 AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)              AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                      AS avg_qty,
+           ROUND(AVG(l_discount), 6)                                      AS avg_disc,
+           COUNT(*)                                                       AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=("P1", "P4", "A2"),
+    description="scan→filter→hash-agg with partial (map-side) aggregation",
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    covers=("J1", "P1", "A2", "W6"),
+    description="3-way join → agg → deterministic top-k",
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(li.l_orderkey.alias("o_orderkey"), "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM region r
+      JOIN nation n   ON n.n_regionkey = r.r_regionkey
+      JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      JOIN lineitem l ON l.l_suppkey  = s.s_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey AND c.c_nationkey = s.s_nationkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    covers=("J1", "J3", "P1", "A2"),
+    description="6-way star join; dims broadcast, facts shuffled once",
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    dim = (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("n_nationkey", "n_name")
+    )
+    sup = s.join(F.broadcast(dim), s.s_nationkey == dim.n_nationkey).select(
+        "s_suppkey", "s_nationkey", "n_name"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == sup.s_nationkey))
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join family (J1-J9)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_validated_1m",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS total_spend
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    covers=("J1",),
+    description="cardinality-validated 1:m equi-join (Polars validate= parity)",
+)
+def join_validated_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_totalprice"
+    )
+    joined = validated_join(c, o, "c_custkey", how="inner", expect="1:m")
+    return joined.groupBy("c_custkey", "c_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+
+
+@register(
+    "join_left_m1",
+    oracle="""
+    SELECT o.o_orderkey, c.c_name, c.c_mktsegment
+    FROM orders o
+    LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 5000) c
+      ON o.o_custkey = c.c_custkey
+    """,
+    covers=("J3",),
+    description="left join m:1 with filtered (nullable) dimension",
+)
+def join_left_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        .select("o_orderkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT COALESCE(cc.k, sc.k) AS n_nationkey,
+           COALESCE(cc.n_customers, 0) AS n_customers,
+           COALESCE(sc.n_suppliers, 0) AS n_suppliers
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS n_customers FROM customer GROUP BY 1) cc
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS n_suppliers FROM supplier GROUP BY 1) sc
+      ON cc.k = sc.k
+    """,
+    covers=("J4",),
+    description="full outer join of two aggregates + null-side coalesce",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+    sc = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+    return (
+        cc.join(sc, "k", "full")
+        .select(
+            F.col("k").alias("n_nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_anti_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    """,
+    covers=("J3", "P5"),
+    description="anti join (customers without recent orders)",
+)
+def join_anti_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    o = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+
+
+@register(
+    "join_semi_shipped_parts",
+    oracle="""
+    SELECT p_partkey, p_name FROM part p
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_partkey = p.p_partkey
+        AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00')
+    """,
+    covers=("J1", "P5"),
+    description="semi join (parts with early shipments)",
+)
+def join_semi_shipped_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    )
+    return p.join(li, p.p_partkey == li.l_partkey, "left_semi")
+
+
+@register(
+    "union_distinct_nationkeys",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    covers=("U1",),
+    description="UNION (distinct) of two projections",
+)
+def union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.union(s).distinct()
+
+
+@register(
+    "interval_join_sessions",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT epoch_us(MAX(s.ts)) FROM events s
+            WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+              AND s.ts <= e.ts AND e.ts <= s.ts + INTERVAL 3 DAY) AS session_start_us
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+    covers=("J5", "P5", "P7"),
+    description="interval containment join: clicks → enclosing signup session, latest-start tie-break",
+)
+def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    sessions = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id"),
+            F.col("ts").alias("session_start"),
+            (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+        )
+    )
+    out = interval_join(
+        clicks,
+        sessions,
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        by=["user_id"],
+        how="left",
+        tie_break="session_start",
+        tie_break_desc=True,
+        broadcast_right=False,
+    )
+    return out.select(
+        "event_id", F.unix_micros("session_start").alias("session_start_us")
+    )
+
+
+@register(
+    "asof_join_purchase_context",
+    oracle="""
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         pur AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT e.event_id, p.event_id AS purchase_event_id, epoch_us(p.ts) AS purchase_ts_us,
+                  ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                     ORDER BY p.ts DESC, p.event_id DESC) AS rn
+           FROM err e JOIN pur p ON p.user_id = e.user_id AND p.ts <= e.ts)
+    SELECT e.event_id, r.purchase_event_id, r.purchase_ts_us
+    FROM err e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+    """,
+    covers=("J6", "W6"),
+    description="backward as-of join (error → latest purchase) via union+last window, one shuffle",
+)
+def asof_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"), "user_id", F.col("ts").alias("pts")
+    )
+    out = asof_join_backward(
+        err,
+        pur,
+        left_on="ts",
+        right_on="pts",
+        by=["user_id"],
+        right_tiebreak=["purchase_event_id"],
+    )
+    return out.select(
+        "event_id", "purchase_event_id", F.unix_micros("pts").alias("purchase_ts_us")
+    )
+
+
+@register(
+    "keymap_remap_identity_default",
+    oracle="""
+    SELECT COALESCE(m.new_key, c.c_nationkey) AS nationkey, COUNT(*) AS n
+    FROM customer c
+    LEFT JOIN (SELECT n_nationkey AS old_key, n_nationkey + 100 AS new_key
+               FROM nation WHERE n_nationkey < 10) m
+      ON c.c_nationkey = m.old_key
+    GROUP BY 1
+    """,
+    covers=("J9", "F17"),
+    description="broadcast key-remap with identity fallback (driver-dict replacement)",
+)
+def keymap_remap_identity_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    keymap = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_nationkey") < 10)
+        .select(
+            F.col("n_nationkey").alias("old"),
+            (F.col("n_nationkey") + 100).alias("new"),
+        )
+    )
+    return (
+        remap_keys(c, "nationkey", keymap)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window / dedup family (W1-W6)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_ordered_keep_first",
+    oracle="""
+    SELECT user_id, event_type, event_id AS first_event_id, epoch_us(ts) AS first_ts_us
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                       ORDER BY ts ASC, event_id ASC) AS rn
+          FROM events)
+    WHERE rn = 1
+    """,
+    covers=("W1", "W2", "W6"),
+    description="ordered dedup keep-first (Polars sort+unique parity)",
+)
+def dedup_ordered_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = dedup_keep_first(ev, ["user_id", "event_type"], ["ts", "event_id"])
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_event_id"),
+        F.unix_micros("ts").alias("first_ts_us"),
+    )
+
+
+@register(
+    "distinct_projection",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    covers=("W3",),
+    description="unordered dedup on a projection",
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "window_lead_impute",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_us(LEAST(
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             o_orderdate + INTERVAL 30 DAY)) AS est_end_us
+    FROM orders
+    """,
+    covers=("W4", "A5", "P7"),
+    description="lead + horizontal-least imputation (t_max parity: observation/transform.py:224-240)",
+)
+def window_lead_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    est = F.least(
+        F.lead("o_orderdate").over(w),
+        F.col("o_orderdate") + F.expr("INTERVAL 30 DAY"),
+    )
+    # o_orderdate scans as TIMESTAMP_NTZ (naive parquet); cast to session
+    # (UTC) timestamp for epoch conversion.
+    return o.select(
+        "o_orderkey", F.unix_micros(est.cast("timestamp")).alias("est_end_us")
+    )
+
+
+@register(
+    "surrogate_key_dense",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY n_name) AS nation_id, n_name
+    FROM nation
+    """,
+    covers=("W5",),
+    description="contiguous 1-based surrogate keys over a deterministic order",
+)
+def surrogate_key_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    return surrogate_key(n, "nation_id", ["n_name"]).select("nation_id", "n_name")
+
+
+@register(
+    "surrogate_key_scalable",
+    oracle="""
+    SELECT ROW_NUMBER() OVER (ORDER BY o_orderkey) AS order_sk, o_orderkey
+    FROM orders
+    """,
+    covers=("W5",),
+    description="partition-offset surrogate keys (zipWithIndex technique, no global window)",
+)
+def surrogate_key_scalable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    return surrogate_key(o, "order_sk", ["o_orderkey"], scalable=True).select(
+        "order_sk", "o_orderkey"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar kernels (F1-F16) + reshape (R1-R5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "enum_mapping_priority",
+    oracle="""
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'I'
+             WHEN '2-HIGH'   THEN 'I,Q,U,V'
+             ELSE NULL END AS pol_states,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    covers=("F16", "P7"),
+    description="enum dict-mapping as when/otherwise chain (npol parity)",
+)
+def enum_mapping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    mapped = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", F.lit("I"))
+        .when(F.col("o_orderpriority") == "2-HIGH", F.lit("I,Q,U,V"))
+        .otherwise(F.lit(None).cast("string"))
+        .alias("pol_states")
+    )
+    return mapped.groupBy("pol_states").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "regex_extract_props",
+    oracle="""
+    SELECT event_type,
+           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_sum,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    covers=("F1", "A2"),
+    description="regex group extraction from JSON-ish strings + agg",
+)
+def regex_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("k_sum"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "duration_mining_per_row",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(list_aggregate(
+             list_transform(
+               regexp_extract_all('setup duration=' || CAST(l_linenumber AS VARCHAR)
+                                  || ' observe duration=' || CAST(CAST(l_quantity AS INT) AS VARCHAR),
+                                  'duration=(\\d+)', 1),
+               x -> CAST(x AS DOUBLE)),
+             'sum') AS DOUBLE) AS dur_sum
+    FROM lineitem
+    WHERE l_orderkey < 1000
+    """,
+    covers=("F2", "A1"),
+    description="regexp_extract_all + higher-order fold (duration mining, per-row variant)",
+)
+def duration_mining_per_row(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    cfg = F.concat(
+        F.lit("setup duration="),
+        F.col("l_linenumber").cast("string"),
+        F.lit(" observe duration="),
+        F.col("l_quantity").cast("int").cast("string"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        K.duration_sum_from_config(cfg).alias("dur_sum"),
+    )
+
+
+@register(
+    "duration_mining_global",
+    oracle="""
+    SELECT CAST(SUM(CAST(m AS DOUBLE)) AS DOUBLE) AS total_duration
+    FROM (SELECT UNNEST(regexp_extract_all(
+            'setup duration=' || CAST(l_linenumber AS VARCHAR)
+            || ' observe duration=' || CAST(CAST(l_quantity AS INT) AS VARCHAR),
+            'duration=(\\d+)', 1)) AS m
+          FROM lineitem WHERE l_orderkey < 1000)
+    """,
+    covers=("A1", "R1"),
+    description="reference-faithful global duration sum (explode→sum collapses to scalar; observation/transform.py:111-132)",
+)
+def duration_mining_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 1000)
+    cfg = F.concat(
+        F.lit("setup duration="),
+        F.col("l_linenumber").cast("string"),
+        F.lit(" observe duration="),
+        F.col("l_quantity").cast("int").cast("string"),
+    )
+    exploded = li.select(
+        F.explode(F.regexp_extract_all(cfg, F.lit(r"duration=(\d+)"), 1)).alias("m")
+    )
+    return exploded.agg(F.sum(F.col("m").cast("double")).alias("total_duration"))
+
+
+@register(
+    "datetime_round_add",
+    oracle="""
+    SELECT event_id,
+           epoch_us(date_trunc('second', ts + INTERVAL 500 MILLISECOND)
+                    + INTERVAL 1 HOUR) AS rounded_plus_1h_us
+    FROM events
+    """,
+    covers=("F8", "F9"),
+    description="timestamp round-to-1s (half-up) + interval arithmetic",
+)
+def datetime_round_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_micros(
+            K.round_timestamp_seconds("ts") + F.expr("INTERVAL 1 HOUR")
+        ).alias("rounded_plus_1h_us"),
+    )
+
+
+@register(
+    "mjd_of_events",
+    oracle="""
+    SELECT event_id,
+           epoch_us(ts) // 86400 + 40587000000 AS mjd_micro
+    FROM events
+    """,
+    covers=("F14",),
+    description="timestamp → Modified Julian Date in exact integer micro-days (native, no astropy UDF)",
+)
+def mjd_of_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Integer micro-days (floor(mjd*1e6)): float ROUND at high scales is
+    # engine-dependent at half boundaries; integer arithmetic is exact.
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        (F.expr("unix_micros(ts) div 86400") + F.lit(40587000000)).alias("mjd_micro"),
+    )
+
+
+@register(
+    "hms_dms_to_degrees",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(((p_partkey % 24) + ((p_partkey * 7) % 60) / 60.0
+                  + ((p_partkey % 600) / 10.0) / 3600.0) * 15.0, 5) AS ra_deg,
+           ROUND((CASE WHEN p_partkey % 2 = 0 THEN -1.0 ELSE 1.0 END)
+                 * ((p_partkey % 90) + ((p_partkey * 11) % 60) / 60.0
+                    + ((p_partkey % 600) / 10.0) / 3600.0), 5) + 0.0 AS dec_deg
+    FROM part
+    """,
+    covers=("F15", "F3", "R5"),
+    description="sexagesimal string build + parse to decimal degrees (astropy-free)",
+)
+def hms_dms_to_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    # Build "H:M:S.s" strings from integer columns, then parse with the
+    # kernel — exercising the string path end-to-end.
+    h = (F.col("p_partkey") % 24).cast("int")
+    m = ((F.col("p_partkey") * 7) % 60).cast("int")
+    s = (F.col("p_partkey") % 600) / 10.0
+    hms = F.concat_ws(":", h.cast("string"), m.cast("string"), s.cast("string"))
+    sign = F.when(F.col("p_partkey") % 2 == 0, F.lit("-")).otherwise(F.lit("+"))
+    d = (F.col("p_partkey") % 90).cast("int")
+    dm = ((F.col("p_partkey") * 11) % 60).cast("int")
+    dms = F.concat(
+        sign, F.concat_ws(":", d.cast("string"), dm.cast("string"), s.cast("string"))
+    )
+    # `+ 0.0` normalizes IEEE negative zero on both sides (dec "-0:0:0").
+    return p.select(
+        "p_partkey",
+        K.hms_to_degrees(hms).alias("ra_deg"),
+        (K.dms_to_degrees(dms) + F.lit(0.0)).alias("dec_deg"),
+    )
+
+
+@register(
+    "pos_point_literal",
+    oracle="""
+    SELECT c_custkey,
+           '(' || CAST(CAST(ROUND(c_acctbal, 2) AS DECIMAL(12,2)) AS VARCHAR) || ','
+               || CAST(CAST(c_nationkey AS DECIMAL(12,2)) AS VARCHAR) || ')' AS pos
+    FROM customer
+    """,
+    covers=("F4", "F5"),
+    description="'(x,y)' PostgreSQL point literal via concat (no UDF)",
+)
+def pos_point_literal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    ra = F.round(F.col("c_acctbal"), 2).cast("decimal(12,2)").cast("string")
+    dec = F.col("c_nationkey").cast("decimal(12,2)").cast("string")
+    return c.select("c_custkey", K.add_parenthesis(F.concat_ws(",", ra, dec)).alias("pos"))
+
+
+@register(
+    "wavelength_bounds",
+    oracle="""
+    SELECT p_partkey,
+           ROUND(299792458.0 / ((p_retailprice + (p_size * 10) / 2.0) * 1000000.0), 12) AS em_min,
+           ROUND(299792458.0 / ((p_retailprice - (p_size * 10) / 2.0) * 1000000.0), 12) AS em_max
+    FROM part
+    WHERE p_retailprice > (p_size * 10)
+    """,
+    covers=("F12", "F13"),
+    description="wavelength band math (em_min/em_max parity: observation/transform.py:249-261)",
+)
+def wavelength_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    cfreq = F.col("p_retailprice")
+    bw = F.col("p_size") * 10
+    return (
+        p.where(cfreq > bw)
+        .select(
+            "p_partkey",
+            F.round(K.em_min(cfreq, bw), 12).alias("em_min"),
+            F.round(K.em_max(cfreq, bw), 12).alias("em_max"),
+        )
+    )
+
+
+@register(
+    "explode_word_counts",
+    oracle="""
+    SELECT w AS word, COUNT(*) AS n
+    FROM (SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+    WHERE w <> ''
+    GROUP BY w
+    """,
+    covers=("R1", "F3", "A2"),
+    description="split → explode → group count (flatten parity)",
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("word"))
+        .where(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

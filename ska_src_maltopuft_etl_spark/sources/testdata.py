@@ -38,9 +38,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANO_TS_COLUMNS.get(name, ()):
         field = dict(df.dtypes).get(col)
         if field == "bigint":
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
-            )
+            # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed the
+            # double-exact range, so float division is off by ±1 µs.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 
