@@ -1,0 +1,169 @@
+"""Structured Streaming extensions.
+
+The reference is pure batch (SURVEY.md §2.11): late/duplicate data is
+handled by re-runs + content dedup + idempotent upserts. On a cluster the
+natural evolution is a file-arrival stream with the same semantics:
+
+- ``stream_run_summaries``: streaming version of the run-summary scan —
+  same schema, same flattening; ``dropDuplicatesWithinWatermark`` on the
+  content hash replaces the batch keep-first dedup (S4/W1) for files that
+  arrive within the watermark horizon;
+- ``stream_with_watermark_dedup``: the generic operator;
+- ``sessionize_events``: an example custom stateful operator
+  (``applyInPandasWithState``) — session windows with timeout, the shape
+  any bespoke streaming state machine takes in this engine.
+
+All sinks are left to the caller (``writeStream`` with checkpointing);
+tests drive these with ``Trigger.AvailableNow`` over static directories.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+
+def stream_with_watermark_dedup(
+    df: DataFrame,
+    event_time_col: str,
+    dedup_cols: list[str],
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming analogue of the batch content dedup (S4):
+    duplicates arriving within ``watermark`` of each other collapse to
+    the first-seen row; state is bounded by the watermark horizon."""
+    return df.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        dedup_cols
+    )
+
+
+def stream_run_summaries(
+    spark: SparkSession, directory: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """File-arrival stream of run summaries with content dedup.
+
+    Reuses the batch source's schema + flattening (sources/run_summary)
+    via a thin readStream; event time is the observation start.
+    """
+    from ska_src_maltopuft_etl_spark.sources.run_summary import (
+        RUN_SUMMARY_SCHEMA,
+    )
+
+    raw = (
+        spark.readStream.schema(RUN_SUMMARY_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*run_summary.json")
+        .option("maxFilesPerTrigger", "1000")
+        .json(directory)
+        .withColumn("__path", F.input_file_name())
+    )
+    # minimal projection for streaming consumers; the full flatten is the
+    # batch path's job once files land in bronze.
+    flat = raw.select(
+        F.col("__path").alias("path"),
+        F.to_timestamp(F.col("utc_start"), "yyyy-MM-dd'_'HH:mm:ss").alias("utc_start"),
+        F.md5(F.to_json(F.struct("beams", "data", "sb_details", "utc_start", "utc_stop"))).alias(
+            "content_hash"
+        ),
+        F.col("sb_details.id").alias("meerkat_id"),
+    )
+    return stream_with_watermark_dedup(flat, "utc_start", ["content_hash"], watermark)
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", IntegerType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+
+_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("n", IntegerType()),
+        StructField("total", DoubleType()),
+    ]
+)
+
+
+def sessionize_events(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful operator: gap-based session windows per user via
+    ``applyInPandasWithState`` (processing-time timeout).
+
+    Demonstrates the engine's pattern for operators Structured Streaming
+    lacks natively: per-key state in Arrow batches, emitted on timeout.
+    Batch demo/verification uses session_window aggregation instead
+    (see plans/relational streaming-adjacent queries).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start_us, end_us, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+            return
+        rows = pd.concat(list(pdfs))
+        ts_us = rows[ts_col].astype("int64") // 1000
+        lo, hi = int(ts_us.min()), int(ts_us.max())
+        n_new, tot_new = len(rows), float(rows[value_col].sum())
+        if state.exists:
+            start_us, end_us, n, total = state.get
+            if lo - end_us > gap_us:
+                # gap exceeded: emit the closed session, start fresh
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(end_us, unit="us")],
+                        "n_events": [n],
+                        "total_value": [total],
+                    }
+                )
+                state.update((lo, hi, n_new, tot_new))
+            else:
+                state.update(
+                    (min(start_us, lo), max(end_us, hi), n + n_new, total + tot_new)
+                )
+        else:
+            state.update((lo, hi, n_new, tot_new))
+        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        return
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
