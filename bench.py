@@ -34,6 +34,11 @@ def main() -> None:
         sf_val = None
     spark = get_spark(app_name="bench", conf={"spark.ui.enabled": "false"})
 
+    # Warm the JVM / codegen / parquet footer caches so the first timed
+    # query doesn't absorb session startup.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    next(iter(QUERIES.values())).fn(spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():
         t0 = time.time()

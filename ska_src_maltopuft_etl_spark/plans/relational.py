@@ -758,3 +758,166 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Additional operator coverage: zip joins, 1:1 validation, JSON parse,
+# datetime string parse, null guards, casts, session windows
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_zip_rownumber",
+    oracle="""
+    WITH a AS (SELECT s_suppkey, s_name,
+                      ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn FROM supplier),
+         b AS (SELECT l_suppkey, SUM(l_quantity) AS qty,
+                      ROW_NUMBER() OVER (ORDER BY l_suppkey) AS rn
+               FROM lineitem GROUP BY l_suppkey)
+    SELECT a.s_suppkey, a.s_name, ROUND(b.qty, 2) AS total_qty
+    FROM a JOIN b ON a.rn = b.rn
+    """,
+    covers=("J7", "J8", "W5"),
+    description="positional zip replaced by row_number key join (hstack parity: observation/transform.py:45,368-369)",
+)
+def join_zip_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The reference attaches columns positionally (hstack) assuming two
+    # frames share row order. The distributed equivalent: materialize the
+    # implied order as an explicit row_number key on BOTH sides and join.
+    s = surrogate_key(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"), "rn", ["s_suppkey"]
+    )
+    agg = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+    b = surrogate_key(agg, "rn", ["l_suppkey"]).drop("l_suppkey")
+    return s.join(b, "rn").select("s_suppkey", "s_name", "total_qty")
+
+
+@register(
+    "join_validated_1to1",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, ROUND(s.spend, 2) AS spend
+    FROM customer c
+    JOIN (SELECT o_custkey, SUM(o_totalprice) AS spend
+          FROM orders GROUP BY o_custkey) s
+      ON s.o_custkey = c.c_custkey
+    """,
+    covers=("J2",),
+    description="1:1-validated join against a pre-aggregated frame",
+)
+def join_validated_1to1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    s = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    return validated_join(c, s, "c_custkey", how="inner", expect="1:1").select(
+        "c_custkey", "c_name", "spend"
+    )
+
+
+@register(
+    "from_json_unnest",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    covers=("R3", "R4", "R2"),
+    description="typed JSON parse + struct unnest (replaces stringify/literal_eval round-trips)",
+)
+def from_json_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k BIGINT").alias("__p")
+    )
+    return parsed.select("event_id", F.col("__p.k").alias("k"))
+
+
+@register(
+    "datetime_string_parse",
+    oracle="""
+    SELECT o_orderkey,
+           epoch_us(strptime(strftime(o_orderdate, '%Y-%m-%d_%H:%M:%S'),
+                             '%Y-%m-%d_%H:%M:%S')) AS parsed_us
+    FROM orders
+    """,
+    covers=("F11", "F10", "F6"),
+    description="two-format datetime string round-trip (run-summary %Y-%m-%d_%H:%M:%S parity)",
+)
+def datetime_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = F.date_format("o_orderdate", "yyyy-MM-dd'_'HH:mm:ss")
+    return o.select(
+        "o_orderkey",
+        F.unix_micros(F.to_timestamp(s, "yyyy-MM-dd'_'HH:mm:ss")).alias("parsed_us"),
+    )
+
+
+@register(
+    "null_guard_stats",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS n_low,
+           SUM(CASE WHEN CASE WHEN value < 1.0 THEN NULL ELSE value END IS NULL
+                    THEN 1 ELSE 0 END) AS n_null
+    FROM events GROUP BY event_type
+    """,
+    covers=("P6", "A3", "A4", "P7"),
+    description="null-count / distinct-count guard aggregates (shape-assertion parity)",
+)
+def null_guard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "__v", F.when(F.col("value") < 1.0, F.lit(None)).otherwise(F.col("value"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum(F.when(F.col("value") < 1.0, 1).otherwise(0)).alias("n_low"),
+        F.sum(F.when(F.col("__v").isNull(), 1).otherwise(0)).alias("n_null"),
+    )
+
+
+@register(
+    "session_window_agg",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events),
+    sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM marked)
+    SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,
+           COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM sessions GROUP BY user_id, session_no
+    """,
+    covers=("W4", "W6", "A2"),
+    description="gap-based session windows (native session_window vs gaps-and-islands oracle)",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("__w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.min("ts").alias("__start"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("__start").alias("session_start_us"),
+            "n_events",
+            "total_value",
+        )
+    )
