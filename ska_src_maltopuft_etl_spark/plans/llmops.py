@@ -90,7 +90,17 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
     sigs = similarity.minhash_signatures(sh, "doc_id", num_hashes=16)
     cands = similarity.lsh_candidate_pairs(sigs, "doc_id", band_size=4)
-    exact = similarity.jaccard_pairs(sh, "doc_id", min_intersection=1)
+    # Exact-verify ONLY the candidate pairs: restrict the shingle table
+    # to docs that appear in any candidate pair before the quadratic
+    # intersection join — at scale the verification cost is proportional
+    # to the near-duplicate count, not the corpus size.
+    cand_docs = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    exact = similarity.jaccard_pairs(sh_cand, "doc_id", min_intersection=1)
     return cands.join(exact, ["doc_a", "doc_b"], "left").select(
         "doc_a", "doc_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
     )
@@ -304,3 +314,42 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     with_payload = multimodal.with_binary_payload(d, "text")
     return multimodal.decode_binary_features(with_payload, "doc_id", "payload")
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 5) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 5) >= 0.8
+    """,
+    covers=("J1",),
+    description="embedding-cosine near-duplicate pairs (exact; LSH variant is the scale path)",
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    withnorm = e.select(
+        "vec_id", vec.alias("__v"), similarity.l2_norm(vec).alias("__n")
+    )
+    a = withnorm.select(
+        F.col("vec_id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
+    )
+    b = withnorm.select(
+        F.col("vec_id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.round(dot / (F.col("__na") * F.col("__nb")), 5).alias("cosine"),
+        )
+        .where(F.col("cosine") >= 0.8)
+    )

@@ -1,0 +1,64 @@
+"""Physical-plan regression tests: the optimizations the engine relies
+on at scale must stay visible in `explain` output — pushed filters,
+pruned scans, broadcast joins, and shuffle counts."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from ska_src_maltopuft_etl_spark.plans import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q01_pushdown_and_pruning(spark):
+    plan = plan_of(spark, "q01_pricing_summary")
+    # date filter reaches the parquet scan
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
+    # scan reads only needed columns (no l_orderkey/l_partkey/l_suppkey)
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_partkey" not in read and "l_suppkey" not in read
+    # partial (map-side) aggregation before the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q05_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q05_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    # a single shuffle for the final aggregate (plus AQE artifacts at most)
+    exchanges = [l for l in plan.splitlines() if "+- Exchange" in l or l.strip().startswith("Exchange")]
+    assert len(exchanges) <= 2
+
+
+def test_asof_single_shuffle(spark):
+    plan = plan_of(spark, "asof_join_purchase_context")
+    # union+window formulation: exactly one Exchange, no join explosion
+    assert plan.count("SortMergeJoin") == 0 and plan.count("BroadcastNestedLoopJoin") == 0
+    n_exchange = sum(
+        1 for l in plan.splitlines() if "(" in l and l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchange == 1, plan
+
+
+def test_keymap_remap_is_broadcast(spark):
+    plan = plan_of(spark, "keymap_remap_identity_default")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_language_id_no_shuffle_before_scan_output(spark):
+    plan = plan_of(spark, "text_language_id")
+    # map-only: no Exchange at all
+    assert not any(
+        l.strip().startswith("(") and ") Exchange" in l for l in plan.splitlines()
+    ), plan
