@@ -34,6 +34,11 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Defensive: callers (e.g. the external verify driver) may hand us a
+    # session without the engine defaults; both confs are runtime-settable
+    # and required for correct reads/parses of these tables.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for col in _NANO_TS_COLUMNS.get(name, ()):
         field = dict(df.dtypes).get(col)
