@@ -43,7 +43,9 @@ class CandidateTables:
         return {"candidate": self.candidate, "sp_candidate": self.sp_candidate}
 
 
-def transform_candidate(cand_df: DataFrame, beam_obs: DataFrame) -> DataFrame:
+def transform_candidate(
+    cand_df: DataFrame, beam_obs: DataFrame, validate: bool = True
+) -> DataFrame:
     """Candidate rows with coordinates, observed_at, pos and beam_id
     (candidate/transform.py:87-202)."""
     cand = surrogate_key(cand_df, "candidate_id", ["cand_mjd", "filename"])
@@ -61,7 +63,7 @@ def transform_candidate(cand_df: DataFrame, beam_obs: DataFrame) -> DataFrame:
         .withColumn("cand_pos", K.pos_string("cand_ra", "cand_dec"))
     )
 
-    n_cand = cand.count()
+    n_cand = cand.count() if validate else None
     # As-of: latest observation started at-or-before the (1s-rounded)
     # detection time, within the same (beam number, coherence) group.
     cand = cand.withColumn("__obs_round", K.round_timestamp_seconds("cand_observed_at"))
@@ -80,11 +82,12 @@ def transform_candidate(cand_df: DataFrame, beam_obs: DataFrame) -> DataFrame:
         right_tiebreak=["beam_id"],
     ).drop("__obs_round", "obs_t_min")
 
-    bad = joined.where(F.col("beam_id").isNull()).limit(1).count()
-    if bad or joined.count() != n_cand:
-        raise UnexpectedShapeError(
-            "Unexpected number of candidates after beam-id as-of join."
-        )
+    if validate:
+        bad = joined.where(F.col("beam_id").isNull()).limit(1).count()
+        if bad or joined.count() != n_cand:
+            raise UnexpectedShapeError(
+                "Unexpected number of candidates after beam-id as-of join."
+            )
     return joined.drop("cand_beam", "cand_coherent")
 
 
@@ -133,10 +136,14 @@ def transform_spccl(
     beam_obs: DataFrame,
     remote_file_root_path: str = "data",
     partition_key: str = "",
+    validate: bool = True,
 ) -> CandidateTables:
     """Candidate transformation entrypoint (candidate/transform.py:230-237)."""
-    cand = transform_candidate(cand_df, beam_obs)
-    cand = deduplicate_candidates(cand)
+    cand = transform_candidate(cand_df, beam_obs, validate=validate)
+    # deduped candidates feed both output tables; cache post-dedup.
+    from pyspark import StorageLevel
+
+    cand = deduplicate_candidates(cand).persist(StorageLevel.MEMORY_AND_DISK)
     sp = transform_sp_candidate(cand, remote_file_root_path, partition_key)
 
     candidate = cand.select(

@@ -147,10 +147,13 @@ def get_sb_df(df: DataFrame) -> DataFrame:
     )
 
 
-def get_obs_df(obs_uniq: DataFrame, sb_df: DataFrame) -> DataFrame:
+def get_obs_df(
+    obs_uniq: DataFrame, sb_df: DataFrame, validate: bool = True
+) -> DataFrame:
     """Unique observation rows (transform.py:243-344): em band, pol enums,
     parent schedule block via interval join, t_max lead-imputation."""
-    base = validated_join(
+    base = _join(
+        validate,
         obs_uniq,
         sb_df.select("sb_start_at", "sb_est_end_at"),
         on="sb_start_at",
@@ -205,7 +208,9 @@ def get_obs_df(obs_uniq: DataFrame, sb_df: DataFrame) -> DataFrame:
     return obs.drop("__next_t_min", "sb_est_end_at")
 
 
-def get_coherent_beam_config_df(obs_uniq: DataFrame) -> tuple[DataFrame, DataFrame]:
+def get_coherent_beam_config_df(
+    obs_uniq: DataFrame, validate: bool = True
+) -> tuple[DataFrame, DataFrame]:
     """Unique coherent-beam configs + per-observation mapping
     (transform.py:179-200). Returns (config table, t_min→config_id map)."""
     per_obs = obs_uniq.select(
@@ -217,7 +222,8 @@ def get_coherent_beam_config_df(obs_uniq: DataFrame) -> tuple[DataFrame, DataFra
         "coherent_beam_config_id",
         ["cb_angle", "cb_fraction_overlap", "cb_x", "cb_y"],
     )
-    mapping = validated_join(
+    mapping = _join(
+        validate,
         per_obs,
         uniq,
         on=["cb_angle", "cb_fraction_overlap", "cb_x", "cb_y"],
@@ -227,14 +233,17 @@ def get_coherent_beam_config_df(obs_uniq: DataFrame) -> tuple[DataFrame, DataFra
     return uniq, mapping
 
 
-def get_tiling_config_df(obs_uniq: DataFrame, obs_df: DataFrame) -> DataFrame:
+def get_tiling_config_df(
+    obs_uniq: DataFrame, obs_df: DataFrame, validate: bool = True
+) -> DataFrame:
     """Tiling configs: explode the typed array, split the target field,
     convert coordinates (transform.py:347-437). Position-stable ids via
     posexplode instead of the reference's row index."""
     tiles = obs_uniq.select(
         "obs_t_min", F.posexplode("beams_tilings").alias("__pos", "__tile")
     )
-    tiles = validated_join(
+    tiles = _join(
+        validate,
         tiles,
         obs_df.select("obs_t_min", "observation_id"),
         on="obs_t_min",
@@ -308,33 +317,52 @@ def get_host_df(beam_df: DataFrame) -> DataFrame:
     return surrogate_key(hosts, "host_id", ["host_hostname", "host_ip_address", "host_port"])
 
 
-def transform_observation(df: DataFrame) -> ObservationTables:
-    """Observation transform entrypoint (transform.py:26-105)."""
+def _join(validate: bool, left: DataFrame, right: DataFrame, on, how="inner",
+          expect="m:m") -> DataFrame:
+    if validate:
+        return validated_join(left, right, on, how=how, expect=expect)
+    on_list = [on] if isinstance(on, str) else list(on)
+    return left.join(right, on_list, how)
+
+
+def transform_observation(df: DataFrame, validate: bool = True) -> ObservationTables:
+    """Observation transform entrypoint (transform.py:26-105).
+
+    ``validate=False`` skips the cardinality checks and null-FK count
+    jobs (each is an extra Spark action) for production throughput; the
+    checks mirror the reference's runtime assertions and stay on in
+    tests.
+    """
     sb_df = get_sb_df(df)
 
     obs_uniq = dedup_keep_first(
         df, ["obs_t_min"], [F.col("obs_t_max").asc_nulls_last(), "filename"]
     )
-    obs_df = get_obs_df(obs_uniq, sb_df)
-    cb_table, cb_map = get_coherent_beam_config_df(obs_uniq)
-    tiling_df = get_tiling_config_df(obs_uniq, obs_df)
+    obs_df = get_obs_df(obs_uniq, sb_df, validate=validate)
+    cb_table, cb_map = get_coherent_beam_config_df(obs_uniq, validate=validate)
+    tiling_df = get_tiling_config_df(obs_uniq, obs_df, validate=validate)
 
-    # Null-FK invariant (transform.py:98-104): every observation must sit
-    # inside a schedule block (+1h grace).
-    n_orphans = obs_df.where(F.col("schedule_block_id").isNull()).count()
-    if n_orphans:
-        raise UnexpectedShapeError(f"Merge resulted in {n_orphans} null schedule_block_id.")
+    if validate:
+        # Null-FK invariant (transform.py:98-104): every observation must
+        # sit inside a schedule block (+1h grace).
+        n_orphans = obs_df.where(F.col("schedule_block_id").isNull()).count()
+        if n_orphans:
+            raise UnexpectedShapeError(
+                f"Merge resulted in {n_orphans} null schedule_block_id."
+            )
 
     # Wide frame: one row per input file, annotated with every id.
     base = df.select("filename", "sb_start_at", "obs_t_min", "obs_t_max", "beams_host_beams")
-    wide = validated_join(
+    wide = _join(
+        validate,
         base,
         sb_df.select("sb_start_at", "schedule_block_id", "meerkat_schedule_block_id"),
         on="sb_start_at",
         how="left",
         expect="m:1",
     )
-    wide = validated_join(
+    wide = _join(
+        validate,
         wide,
         obs_df.select("obs_t_min", "observation_id").join(
             F.broadcast(cb_map), "obs_t_min", "left"
@@ -345,8 +373,14 @@ def transform_observation(df: DataFrame) -> ObservationTables:
     ).drop(base["obs_t_max"])
 
     beam_df = get_beam_df(wide)
+    # beam_df feeds host derivation, the beam table, the beam_obs as-of
+    # frame, and (with validate) a null scan — cache the explode output.
+    from pyspark import StorageLevel
+
+    beam_df = beam_df.persist(StorageLevel.MEMORY_AND_DISK)
     host_df = get_host_df(beam_df)
-    beam_df = validated_join(
+    beam_df = _join(
+        validate,
         beam_df,
         host_df,
         on=["host_ip_address", "host_hostname", "host_port"],
@@ -354,9 +388,10 @@ def transform_observation(df: DataFrame) -> ObservationTables:
         expect="m:1",
     )
 
-    for frame, col in ((wide, "observation_id"), (beam_df, "host_id")):
-        if frame.where(F.col(col).isNull()).limit(1).count():
-            raise UnexpectedShapeError(f"Merge resulted in null {col}.")
+    if validate:
+        for frame, col in ((wide, "observation_id"), (beam_df, "host_id")):
+            if frame.where(F.col(col).isNull()).limit(1).count():
+                raise UnexpectedShapeError(f"Merge resulted in null {col}.")
 
     # s_ra/s_dec on the observation = first tiling's coordinates
     # (deterministic stand-in for the reference's join-order-dependent

@@ -27,6 +27,7 @@ def meertrap_run(
     output_dir: str | None = None,
     remote_file_root_path: str = "data",
     partition_key: str = "",
+    validate: bool = True,
 ) -> dict[str, DataFrame]:
     """Run the MeerTRAP pipeline over one partition directory.
 
@@ -34,15 +35,19 @@ def meertrap_run(
     ``output_dir`` when given (K1 checkpoint role, gzip like the
     reference's stage outputs, meertrap.py:64).
     """
-    obs_raw = read_run_summaries(spark, data_dir)
-    cand_raw = read_spccl(spark, data_dir)
+    from pyspark import StorageLevel
 
-    obs_tables = transform_observation(obs_raw)
+    # Nine downstream tables re-traverse these frames; cache once.
+    obs_raw = read_run_summaries(spark, data_dir).persist(StorageLevel.MEMORY_AND_DISK)
+    cand_raw = read_spccl(spark, data_dir).persist(StorageLevel.MEMORY_AND_DISK)
+
+    obs_tables = transform_observation(obs_raw, validate=validate)
     cand_tables = transform_spccl(
         cand_raw,
         obs_tables.beam_obs,
         remote_file_root_path=remote_file_root_path,
         partition_key=partition_key or os.path.basename(data_dir.rstrip("/")),
+        validate=validate,
     )
 
     tables = {**obs_tables.as_dict(), **cand_tables.as_dict()}
