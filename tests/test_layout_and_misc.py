@@ -1,0 +1,73 @@
+"""Tests for layout CLIs (O4), checkpoint memoization (S7), and the
+salted join."""
+
+from __future__ import annotations
+
+import json
+import tarfile
+
+from pyspark.sql import functions as F
+
+from ska_src_maltopuft_etl_spark.operators.skew import salted_join
+from ska_src_maltopuft_etl_spark.sources.checkpoint import read_or_create_parquet
+from ska_src_maltopuft_etl_spark.sources.layout import (
+    delete_empty_candidate_dirs,
+    reorganise_candidate_dirs,
+    untar_directory,
+)
+
+
+def test_untar_and_reorg_and_cleanup(tmp_path):
+    # build a tarball holding one candidate dir
+    src = tmp_path / "incoming"
+    payload = tmp_path / "payload" / "tpn-0-37_1700000000"
+    payload.mkdir(parents=True)
+    (payload / "x_run_summary.json").write_text(
+        json.dumps({"sb_details": {"actual_start_time": "2023-11-20 21:37:42.000+00:00"}})
+    )
+    src.mkdir()
+    with tarfile.open(src / "batch1.tar.gz", "w:gz") as tf:
+        tf.add(payload, arcname="tpn-0-37_1700000000")
+    data = tmp_path / "data"
+    roots = untar_directory(src, data)
+    assert len(roots) == 1
+    # flatten extraction root into data dir layout
+    extracted = roots[0] / "tpn-0-37_1700000000"
+    extracted.rename(data / "tpn-0-37_1700000000")
+    roots[0].rmdir()
+
+    moved = reorganise_candidate_dirs(data)
+    assert moved == {"2023-11-20": ["tpn-0-37_1700000000"]}
+    assert (data / "2023-11-20" / "tpn-0-37_1700000000" / "x_run_summary.json").exists()
+
+    (data / "empty1" / "empty2").mkdir(parents=True)
+    removed = delete_empty_candidate_dirs(data)
+    assert any("empty2" in r for r in removed) and any("empty1" in r for r in removed)
+
+
+def test_read_or_create_parquet(spark, tmp_path):
+    path = str(tmp_path / "ckpt.parquet")
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    a = read_or_create_parquet(spark, path, build)
+    b = read_or_create_parquet(spark, path, build)
+    assert a.count() == 5 and b.count() == 5
+    assert len(calls) == 1  # second read memoized
+
+
+def test_salted_join_matches_plain_join(spark):
+    # skewed large side: 90% of rows share key 1
+    large = spark.range(1000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(1)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.createDataFrame([(1, "hot"), (10, "cold"), (999, "miss")], "k long, v string")
+    plain = large.join(small, "k").groupBy("v").count().collect()
+    salted = salted_join(large, small, "k", salt_buckets=8).groupBy("v").count().collect()
+    assert sorted((r["v"], r["count"]) for r in plain) == sorted(
+        (r["v"], r["count"]) for r in salted
+    )
