@@ -324,32 +324,11 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         CAST(b.embedding AS DOUBLE[])), 5) AS cosine
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                       CAST(b.embedding AS DOUBLE[])), 5) >= 0.8
+                                       CAST(b.embedding AS DOUBLE[])), 5) >= 0.3
     """,
     covers=("J1",),
     description="embedding-cosine near-duplicate pairs (exact; LSH variant is the scale path)",
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    withnorm = e.select(
-        "vec_id", vec.alias("__v"), similarity.l2_norm(vec).alias("__n")
-    )
-    a = withnorm.select(
-        F.col("vec_id").alias("vec_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")
-    )
-    b = withnorm.select(
-        F.col("vec_id").alias("vec_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")
-    )
-    dot = F.aggregate(
-        F.zip_with("__va", "__vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    return (
-        a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select(
-            "vec_a",
-            "vec_b",
-            F.round(dot / (F.col("__na") * F.col("__nb")), 5).alias("cosine"),
-        )
-        .where(F.col("cosine") >= 0.8)
-    )
+    return similarity.cosine_pairs_exact(e, "vec_id", "embedding", threshold=0.3)
