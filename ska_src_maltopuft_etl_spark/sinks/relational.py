@@ -39,7 +39,8 @@ class TargetInformation:
     table_name: str
     table_prefix: str
     primary_key: str
-    foreign_keys: tuple[str, ...] = ()
+    #: fk column name → parent table name (load-order DAG edges).
+    foreign_keys: dict[str, str] = field(default_factory=dict)
     #: natural-key columns used for conflict detection (the reference's
     #: unique constraints).
     unique_key: tuple[str, ...] = ()
@@ -132,35 +133,115 @@ def load_targets(
 
 #: MeerTRAP load order = the FK dependency DAG (meertrap/meertrap.py:173-197).
 MEERTRAP_TARGETS: tuple[TargetInformation, ...] = (
-    TargetInformation("schedule_block", "", "id", (), ("start_at", "est_end_at")),
+    TargetInformation("schedule_block", "", "id", {}, ("start_at", "est_end_at")),
     TargetInformation(
-        "meerkat_schedule_block", "", "id", ("schedule_block_id",), ("meerkat_id",)
+        "meerkat_schedule_block", "", "id",
+        {"schedule_block_id": "schedule_block"}, ("meerkat_id",),
     ),
-    TargetInformation("host", "", "id", (), ("ip_address", "hostname", "port")),
+    TargetInformation("host", "", "id", {}, ("ip_address", "hostname", "port")),
     TargetInformation(
-        "coherent_beam_config", "", "id", (), ("angle", "fraction_overlap", "x", "y")
-    ),
-    TargetInformation(
-        "observation", "", "id", ("schedule_block_id", "coherent_beam_config_id"), ("t_min",)
-    ),
-    TargetInformation("tiling_config", "", "id", ("observation_id",), ()),
-    TargetInformation(
-        "beam", "", "id", ("observation_id", "host_id"), ("number", "coherent", "observation_id")
+        "coherent_beam_config", "", "id", {}, ("angle", "fraction_overlap", "x", "y")
     ),
     TargetInformation(
-        "candidate",
-        "",
-        "id",
-        ("beam_id",),
+        "observation", "", "id",
+        {"schedule_block_id": "schedule_block",
+         "coherent_beam_config_id": "coherent_beam_config"},
+        ("t_min",),
+    ),
+    TargetInformation(
+        "tiling_config", "", "id", {"observation_id": "observation"},
+        ("observation_id", "epoch", "nbeams", "overlap", "target"),
+    ),
+    TargetInformation(
+        "beam", "", "id", {"observation_id": "observation", "host_id": "host"},
+        ("number", "coherent", "observation_id"),
+    ),
+    TargetInformation(
+        "candidate", "", "id", {"beam_id": "beam"},
         ("dm", "snr", "ra", "dec", "width", "observed_at", "beam_id"),
     ),
-    TargetInformation("sp_candidate", "", "id", ("candidate_id",), ("plot_path",)),
+    TargetInformation(
+        "sp_candidate", "", "id", {"candidate_id": "candidate"}, ("plot_path",)
+    ),
 )
 
 ATNF_TARGETS: tuple[TargetInformation, ...] = (
-    TargetInformation("catalogue", "", "id", (), ("name",)),
-    TargetInformation("catalogue_visit", "", "id", ("catalogue_id",), ()),
+    TargetInformation("catalogue", "", "id", {}, ("name",)),
     TargetInformation(
-        "known_pulsar", "", "id", ("catalogue_visit_id",), ("name", "catalogue_visit_id")
+        "catalogue_visit", "", "id", {"catalogue_id": "catalogue"}, ("visited_at",)
+    ),
+    TargetInformation(
+        "known_pulsar", "", "id", {"catalogue_visit_id": "catalogue_visit"},
+        ("name", "catalogue_visit_id"),
     ),
 )
+
+
+def incremental_load(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    targets: Sequence[TargetInformation],
+    output_dir: str,
+) -> dict[str, DataFrame]:
+    """Idempotent incremental load with id reconciliation (K4 + J9).
+
+    The reference loads each table with INSERT..RETURNING and keeps a
+    driver dict of local→DB ids that downstream tables use to remap
+    their FKs (core/database_loader.py:25-189). Distributed equivalent,
+    one pass per table in FK order:
+
+    1. remap this table's FK columns through the parents' keymaps
+       (broadcast joins — J9);
+    2. match rows against the existing table on the natural key
+       (broadcast anti/left join) — matches adopt the existing id;
+    3. novel rows get fresh contiguous ids above the existing max;
+    4. the (local id → final id) keymap feeds children;
+    5. only novel rows are appended (merge semantics — K3/K4).
+
+    Re-running the same batch is a no-op; partially-overlapping batches
+    append only the new rows, with FKs pointing at the surviving ids.
+    """
+    from ska_src_maltopuft_etl_spark.operators import remap_keys, surrogate_key
+
+    keymaps: dict[str, DataFrame] = {}
+    loaded: dict[str, DataFrame] = {}
+    for target in targets:
+        name, pk = target.table_name, target.primary_key
+        df = tables[name]
+        for fk_col, parent in target.foreign_keys.items():
+            if parent in keymaps:
+                df = remap_keys(df, fk_col, keymaps[parent])
+        path = f"{output_dir}/{name}.parquet"
+        try:
+            existing = spark.read.parquet(path)
+        except Exception:
+            existing = None
+
+        nk = list(target.unique_key) or [c for c in df.columns if c != pk]
+        if existing is not None:
+            match = existing.select(
+                *nk, F.col(pk).alias("__existing_id")
+            ).dropDuplicates(nk)
+            df = df.join(F.broadcast(match), nk, "left")
+            offset_row = existing.agg(F.max(pk).alias("m")).first()
+            offset = int(offset_row["m"] or 0)
+        else:
+            df = df.withColumn("__existing_id", F.lit(None).cast("long"))
+            offset = 0
+
+        novel = df.where(F.col("__existing_id").isNull())
+        novel = surrogate_key(novel, "__new_id", [pk], offset=offset + 1)
+        keymap = (
+            df.where(F.col("__existing_id").isNotNull())
+            .select(F.col(pk).alias("old"), F.col("__existing_id").alias("new"))
+            .unionByName(
+                novel.select(F.col(pk).alias("old"), F.col("__new_id").alias("new"))
+            )
+        )
+        keymaps[name] = keymap.dropDuplicates(["old"])
+
+        out_cols = [c for c in tables[name].columns]
+        novel_final = novel.withColumn(pk, F.col("__new_id")).select(*out_cols)
+        novel_final.write.mode("append").option("compression", "gzip").parquet(path)
+        loaded[name] = spark.read.parquet(path)
+    return loaded
