@@ -230,7 +230,7 @@ def incremental_load(
             offset = 0
 
         novel = df.where(F.col("__existing_id").isNull())
-        novel = surrogate_key(novel, "__new_id", [pk], offset=offset + 1)
+        novel = surrogate_key(novel, "__new_id", [pk], offset=offset + 1, scalable=True)
         keymap = (
             df.where(F.col("__existing_id").isNotNull())
             .select(F.col(pk).alias("old"), F.col("__existing_id").alias("new"))
@@ -238,7 +238,11 @@ def incremental_load(
                 novel.select(F.col(pk).alias("old"), F.col("__new_id").alias("new"))
             )
         )
-        keymaps[name] = keymap.dropDuplicates(["old"])
+        # Keymaps are small but their lineage drags the ENTIRE upstream
+        # pipeline DAG into every child table's plan — after a few tables
+        # the combined plan string alone can OOM the driver. Eagerly
+        # localCheckpoint to truncate lineage at each table boundary.
+        keymaps[name] = keymap.dropDuplicates(["old"]).localCheckpoint(eager=True)
 
         out_cols = [c for c in tables[name].columns]
         novel_final = novel.withColumn(pk, F.col("__new_id")).select(*out_cols)

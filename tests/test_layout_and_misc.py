@@ -71,3 +71,38 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted((r["v"], r["count"]) for r in plain) == sorted(
         (r["v"], r["count"]) for r in salted
     )
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    import contextlib
+    import io
+
+    from ska_src_maltopuft_etl_spark.sinks.bucketed import write_bucketed
+
+    orders = spark.range(10_000).selectExpr("id as o_orderkey", "id % 997 as o_custkey")
+    lineitem = spark.range(30_000).selectExpr(
+        "id % 10000 as l_orderkey", "id as l_qty"
+    )
+    write_bucketed(orders, "b_orders", ["o_orderkey"], num_buckets=8)
+    write_bucketed(lineitem, "b_lineitem", ["l_orderkey"], num_buckets=8)
+    a = spark.table("b_orders")
+    b = spark.table("b_lineitem")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        # bucketed both sides on the join key → SMJ with no shuffle
+        assert "SortMergeJoin" in plan
+        assert not any(
+            line.strip().startswith("(") and ") Exchange" in line
+            for line in plan.splitlines()
+        ), plan
+        assert joined.count() == 30_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
