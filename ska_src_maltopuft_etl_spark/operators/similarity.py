@@ -368,3 +368,111 @@ def cosine_pairs_exact(
             )
 
     return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    lloyd_iters: int = 2,
+    decimals: int = 5,
+) -> DataFrame:
+    """Approximate top-k cosine via IVF (inverted-file) clustering.
+
+    Deterministic kmeans-lite: centroids initialize from the first
+    ``n_centroids`` corpus vectors in id order and run ``lloyd_iters``
+    Lloyd iterations over a bounded sample on the driver; corpus rows are
+    assigned to their nearest centroid (vectorized numpy over Arrow
+    batches), and each query scans only its ``n_probe`` nearest
+    centroids' inverted lists. At scale the assignment is a map-only
+    pass and the probe is an equi-join on cluster id — the crossJoin
+    disappears.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    spark = corpus.sparkSession
+    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(10_000).toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cents = Mn[:n_centroids].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(Mn @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = Mn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / np.linalg.norm(m)
+    bc = spark.sparkContext.broadcast(cents)
+
+    id_field = corpus.schema[id_col]
+
+    def assign_gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["__cluster"] = np.argmax(An @ C.T, axis=1).astype("int32")
+            yield pdf
+
+    assigned_schema = StructType(
+        list(corpus.select(id_col, vec_col).schema.fields)
+        + [StructField("__cluster", IntegerType())]
+    )
+    tagged_corpus = corpus.select(id_col, vec_col).mapInPandas(
+        assign_gen, schema=assigned_schema
+    )
+
+    def probe_gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            sims = An @ C.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            rows = pdf.loc[pdf.index.repeat(n_probe)].copy()
+            rows["__cluster"] = order.reshape(-1).astype("int32")
+            yield rows
+
+    probed_queries = queries.select(id_col, vec_col).mapInPandas(
+        probe_gen, schema=assigned_schema
+    )
+
+    dim = vector_dim(corpus, vec_col)
+    q = probed_queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("__qv"),
+        "__cluster",
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = tagged_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_vec(F.col(vec_col)).alias("__cv"),
+        "__cluster",
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = q.join(c, "__cluster").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expanded(F.col("__qv"), F.col("__cv"), dim)
+            / (F.col("__qn") * F.col("__cn")),
+            decimals,
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -75,7 +75,8 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    # the shingle table feeds sizes + both self-join sides: cache it
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3).persist()
     return similarity.jaccard_pairs(sh, "doc_id", min_intersection=2)
 
 
@@ -87,7 +88,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3).persist()
     sigs = similarity.minhash_signatures(sh, "doc_id", num_hashes=16)
     cands = similarity.lsh_candidate_pairs(sigs, "doc_id", band_size=4)
     # Exact-verify ONLY the candidate pairs: restrict the shingle table
@@ -332,3 +333,60 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return similarity.cosine_pairs_exact(e, "vec_id", "embedding", threshold=0.3)
+
+
+@register(
+    "knn_cosine_ivf",
+    oracle=None,  # approximate (inverted-file probe) → rows-only check
+    covers=("J1",),
+    description="IVF (kmeans-lite inverted file) approximate cosine top-5",
+)
+def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    return similarity.cosine_topk_ivf(q, c, "vec_id", "embedding", k=5)
+
+
+@register(
+    "corpus_clean_pipeline",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    q AS (
+      SELECT doc_id,
+             ROUND(0.5 * (len(list_filter(t, w -> w IN ('the','a')))
+                          / CAST(len(t) AS DOUBLE))
+                   + 0.5 * LEAST(len(t) / 100.0, 1.0), 4) AS quality
+      FROM toks),
+    tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id,
+                  toks[u.g] || ' ' || toks[u.g+1] || ' ' || toks[u.g+2] AS shingle
+           FROM tt, UNNEST(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+    dups AS (SELECT DISTINCT db AS doc_id FROM inter
+             JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+             WHERE ROUND(i / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5)
+    SELECT d.doc_id, q.quality
+    FROM documents d JOIN q ON q.doc_id = d.doc_id
+    WHERE q.quality >= 0.3 AND d.doc_id NOT IN (SELECT doc_id FROM dups)
+    """,
+    covers=("P4", "P7", "J3", "A2"),
+    description="composed training-corpus cleaning: quality filter + near-dup removal (keep lowest id)",
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id", text.quality_score("text").alias("quality")
+    ).where(F.col("quality") >= 0.3)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    dups = (
+        similarity.jaccard_pairs(sh, "doc_id", min_intersection=1, threshold=0.5)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return scored.join(dups, "doc_id", "left_anti").select("doc_id", "quality")

@@ -65,3 +65,23 @@ def test_extract_features_feeds_similarity(spark, docs_with_payload):
 def test_real_decode_is_explicitly_stubbed():
     with pytest.raises(NotImplementedError):
         multimodal.real_media_decode(b"\x89PNG")
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    exact = similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=5)
+    approx = similarity.cosine_topk_ivf(q, c, "vec_id", "embedding", k=5,
+                                        n_centroids=4, n_probe=2)
+    ex = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    # probing half the centroids should recover most true neighbors
+    assert recall >= 0.5, recall
+    # per-query result count is still exactly k
+    from collections import Counter
+    per_q = Counter(qid for qid, _ in ap)
+    assert all(v == 5 for v in per_q.values())
