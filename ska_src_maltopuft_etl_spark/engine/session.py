@@ -31,6 +31,9 @@ _DEFAULTS: dict[str, str] = {
     # (region/nation/supplier) are broadcast-sized.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     "spark.sql.shuffle.partitions": "32",
+    # local mode: the driver JVM IS the executor; the 1g default heap
+    # GC-thrashes under 32 task threads. Must be set before JVM launch.
+    "spark.driver.memory": "16g",
     # Parquet scans: allow large-enough splits that small SFs don't
     # fragment into thousands of empty tasks, while 100 TB inputs still
     # split per-rowgroup.
