@@ -1025,3 +1025,32 @@ def topk_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 3)
         .drop("rn")
     )
+
+
+@register(
+    "sql_frontend_q01",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=("P1", "A2"),
+    description="ANSI-SQL frontend: the same engine driven via spark.sql over registered views",
+)
+def sql_frontend_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ska_src_maltopuft_etl_spark.engine.catalog import register_star_schema
+
+    register_star_schema(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )

@@ -1,3 +1,3 @@
-from ska_src_maltopuft_etl_spark.sources.testdata import load_table, load_tables
+from ska_src_maltopuft_etl_spark.sources.testdata import TABLES, load_table, load_tables
 
-__all__ = ["load_table", "load_tables"]
+__all__ = ["TABLES", "load_table", "load_tables"]

@@ -106,3 +106,54 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partition_pruned_scan(spark, tmp_path):
+    """Hive-partitioned layout (O1): a date filter must prune partitions
+    at the scan, not filter rows post-hoc."""
+    import contextlib
+    import io
+
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    path = str(tmp_path / "events_partitioned")
+    ev.withColumn("day", F.date_format("ts", "yyyy-MM-dd")).write.partitionBy(
+        "day"
+    ).parquet(path)
+    back = spark.read.parquet(path).where(F.col("day") == "2024-01-05")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        back.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "day" in pf_line
+    assert back.count() > 0
+    assert back.select("day").distinct().count() == 1
+
+
+def test_sql_frontend_over_pipeline_outputs(spark, tmp_path):
+    """The reference's post-load SQL surface: register pipeline outputs
+    as views and run the documented smoke query via spark.sql."""
+    from ska_src_maltopuft_etl_spark.engine.catalog import register_tables
+    from ska_src_maltopuft_etl_spark.plans.meertrap import meertrap_run
+    from tests.test_meertrap_pipeline import OBS, run_summary, spccl_line, mjd
+    import datetime as dt
+    import json
+
+    data = tmp_path / "d"
+    sb, start, stop = OBS[0]
+    d = data / "tpn-0-37_1700000000"
+    d.mkdir(parents=True)
+    (d / "t0_tpn-0-37_run_summary.json").write_text(
+        json.dumps(run_summary(sb, start, stop, "tpn-0-37"))
+    )
+    (d / "candA_beam.spccl.log").write_text(
+        spccl_line(mjd(start + dt.timedelta(seconds=5)), 1.0, 2.0, 3.0, 0, "C",
+                   "4:40:17.07", "-43:33:09.0")
+    )
+    tables = meertrap_run(spark, str(data), partition_key="x")
+    register_tables(spark, tables)
+    rows = spark.sql("SELECT * FROM sp_candidate LIMIT 1").collect()
+    assert len(rows) == 1
