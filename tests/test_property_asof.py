@@ -95,3 +95,38 @@ def test_dedup_and_surrogate_deterministic_under_partitioning(spark, data):
         ordered = [r["rid"] for r in sk.orderBy("sk").collect()]
         expected_order = list(pdf.sort_values(["v", "rid"])["rid"])
         assert ordered == expected_order
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=rows, right=st.lists(st.tuples(st.integers(0, 5), st.integers(0, 100), st.integers(0, 30)), max_size=15))
+def test_interval_join_matches_pandas_filter(spark, left, right):
+    from ska_src_maltopuft_etl_spark.operators import interval_join
+
+    lpdf = pd.DataFrame(left, columns=["k", "t"]).reset_index(names="lid")
+    rpdf = pd.DataFrame(right, columns=["k", "start", "dur"]).reset_index(names="rid")
+    if not len(lpdf):
+        return
+    rpdf["end"] = rpdf["start"] + rpdf["dur"]
+    ldf = spark.createDataFrame(lpdf[["lid", "k", "t"]])
+    if len(rpdf):
+        rdf = spark.createDataFrame(rpdf[["rid", "k", "start", "end"]])
+    else:
+        rdf = spark.createDataFrame([], "rid long, k long, start long, end long")
+
+    out = interval_join(
+        ldf, rdf, left_ts="t", right_start="start", right_end="end",
+        by=["k"], how="left", tie_break="rid", broadcast_right=False,
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    exp = {}
+    for lrow in lpdf.itertuples():
+        matches = rpdf[
+            (rpdf.k == lrow.k) & (rpdf.start <= lrow.t) & (rpdf.end >= lrow.t)
+        ] if len(rpdf) else rpdf
+        exp[lrow.lid] = None if len(matches) == 0 else int(matches.sort_values("rid").iloc[0]["rid"])
+    assert got == exp
