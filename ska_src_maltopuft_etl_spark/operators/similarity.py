@@ -55,12 +55,24 @@ def jaccard_pairs(
     id_col: str,
     min_intersection: int = 2,
     threshold: float = 0.0,
+    max_doc_frequency: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over a (id, shingle) set table.
 
     Returns (doc_a, doc_b, intersection, jaccard) for unordered pairs
     with intersection >= min_intersection and jaccard >= threshold.
+
+    ``max_doc_frequency`` is the skew guard for power-law corpora: a
+    shingle appearing in f documents contributes f² join rows, so a
+    handful of boilerplate shingles can dominate the shuffle. Capping
+    document frequency drops those stop-shingles before the self-join
+    (the standard approximation — sizes are computed on the capped set
+    so the jaccard stays a true set similarity over retained shingles).
     """
+    if max_doc_frequency is not None:
+        df_counts = shingles.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        keep = df_counts.where(F.col("__df") <= max_doc_frequency).select("shingle")
+        shingles = shingles.join(keep, "shingle", "left_semi")
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
     a = shingles.select(F.col(id_col).alias("doc_a"), "shingle")
     b = shingles.select(F.col(id_col).alias("doc_b"), "shingle")

@@ -1,3 +1,7 @@
+from ska_src_maltopuft_etl_spark.streaming.candidates import (
+    resolve_beams_stream,
+    stream_spccl,
+)
 from ska_src_maltopuft_etl_spark.streaming.ingest import (
     sessionize_events,
     stream_run_summaries,
@@ -5,7 +9,9 @@ from ska_src_maltopuft_etl_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "resolve_beams_stream",
     "sessionize_events",
     "stream_run_summaries",
+    "stream_spccl",
     "stream_with_watermark_dedup",
 ]

@@ -157,3 +157,27 @@ def test_sql_frontend_over_pipeline_outputs(spark, tmp_path):
     register_tables(spark, tables)
     rows = spark.sql("SELECT * FROM sp_candidate LIMIT 1").collect()
     assert len(rows) == 1
+
+
+def test_jaccard_doc_frequency_cap(spark):
+    from ska_src_maltopuft_etl_spark.operators import similarity
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common unique1 unique1 unique1"),
+            (2, "common common common unique2 unique2 unique2"),
+            (3, "common common common unique1 unique1 unique1"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = similarity.ngram_shingles(docs, "doc_id", "text", n=3)
+    # uncapped: every pair shares the 'common common common' shingle
+    full = similarity.jaccard_pairs(sh, "doc_id", min_intersection=1)
+    assert full.count() == 3
+    # df cap 2 drops the boilerplate shingle; only the true duplicate
+    # pair (1,3) survives
+    capped = similarity.jaccard_pairs(sh, "doc_id", min_intersection=1,
+                                      max_doc_frequency=2)
+    rows = capped.collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 3)}
+    assert rows[0]["jaccard"] == 1.0

@@ -81,3 +81,44 @@ def test_sessionize_events_stateful(spark, tmp_path):
     assert s["n_events"] == 2
     assert s["total_value"] == 4.0
     assert (s["session_end"] - s["session_start"]).total_seconds() == 60.0
+
+
+def test_streaming_candidate_beam_resolution(spark, tmp_path):
+    """SPCCL arrival stream → foreachBatch as-of join → resolved beams."""
+    import datetime as dt
+
+    from ska_src_maltopuft_etl_spark.streaming import resolve_beams_stream
+
+    # static beam/observation dimension
+    t0 = dt.datetime(2023, 11, 20, 21, 57, 11)
+    beam_obs = spark.createDataFrame(
+        [(0, True, t0, 101), (1, True, t0, 102)],
+        "beam_number int, beam_coherent boolean, obs_t_min timestamp, beam_id int",
+    )
+
+    from tests.test_meertrap_pipeline import mjd, spccl_line
+
+    data = tmp_path / "spccl_stream"
+    d = data / "tpn-0-37_1700000000"
+    d.mkdir(parents=True)
+    start = dt.datetime(2023, 11, 20, 21, 57, 11, tzinfo=dt.timezone.utc)
+    (d / "candA_beam.spccl.log").write_text(
+        spccl_line(mjd(start + dt.timedelta(seconds=5)), 1.5, 2.0, 9.0, 0, "C",
+                   "4:40:17.07", "-43:33:09.0"))
+    (d / "candB_beam.spccl.log").write_text(
+        spccl_line(mjd(start + dt.timedelta(seconds=9)), 2.5, 2.0, 9.0, 1, "C",
+                   "4:40:17.07", "-43:33:09.0"))
+
+    collected = []
+
+    def sink(df, batch_id):
+        collected.extend(df.collect())
+
+    q = resolve_beams_stream(
+        spark, str(data), beam_obs, sink,
+        checkpoint_dir=str(tmp_path / "ckpt"), available_now=True,
+    )
+    q.awaitTermination(120)
+    assert len(collected) == 2
+    by_dm = {round(r["cand_dm"], 1): r["beam_id"] for r in collected}
+    assert by_dm == {1.5: 101, 2.5: 102}
