@@ -240,19 +240,23 @@ def remap_keys(
     keymap: DataFrame,
     old_col: str = "old",
     new_col: str = "new",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Replace ``key_col`` values via a mapping table, keeping the
     original value when unmapped (``mapping.get(x, x)`` semantics).
 
     The reference holds the map as a driver dict and applies it per row
     (core/database_loader.py:182-188, tests/test_map_keys.py:7-57) — a
-    non-starter at scale. Here it is a broadcast left join + coalesce:
-    distributed, single map-side stage, no driver state.
+    non-starter at scale. Here it is a left join + coalesce: distributed,
+    no driver state. ``broadcast=True`` (default) hints the map side —
+    right for dimension-sized keymaps; pass False for fact-sized maps
+    and let AQE pick the strategy from runtime stats.
     """
     mapping = keymap.select(
         F.col(old_col).alias("__old"), F.col(new_col).alias("__new")
     ).dropDuplicates(["__old"])
-    out = df.join(F.broadcast(mapping), df[key_col] == F.col("__old"), "left")
+    rhs = F.broadcast(mapping) if broadcast else mapping
+    out = df.join(rhs, df[key_col] == F.col("__old"), "left")
     return out.withColumn(
         key_col, F.coalesce(F.col("__new"), F.col(key_col))
     ).drop("__old", "__new")

@@ -210,7 +210,9 @@ def incremental_load(
         df = tables[name]
         for fk_col, parent in target.foreign_keys.items():
             if parent in keymaps:
-                df = remap_keys(df, fk_col, keymaps[parent])
+                # keymaps scale with the batch's table size (fact tables
+                # can be huge) — no forced broadcast; AQE decides.
+                df = remap_keys(df, fk_col, keymaps[parent], broadcast=False)
         path = f"{output_dir}/{name}.parquet"
         try:
             existing = spark.read.parquet(path)
@@ -222,7 +224,9 @@ def incremental_load(
             match = existing.select(
                 *nk, F.col(pk).alias("__existing_id")
             ).dropDuplicates(nk)
-            df = df.join(F.broadcast(match), nk, "left")
+            # existing tables grow without bound — let AQE pick the join
+            # strategy instead of forcing a broadcast.
+            df = df.join(match, nk, "left")
             offset_row = existing.agg(F.max(pk).alias("m")).first()
             offset = int(offset_row["m"] or 0)
         else:
