@@ -22,6 +22,21 @@ from ska_src_maltopuft_etl_spark.operators import surrogate_key
 
 ATNF_BASE_URL = "https://www.atnf.csiro.au/research/pulsar/psrcat/"
 
+
+def psrqpy_fetcher(version: str = "2.3.0") -> pd.DataFrame:
+    """Production fetcher wrapping psrqpy exactly as the reference does
+    (atnf/atnf.py:25): QueryATNF over the mapped params. Gated behind an
+    import-try — psrqpy isn't installed in this environment."""
+    try:
+        from psrqpy import QueryATNF
+    except ImportError as exc:  # pragma: no cover - psrqpy not in container
+        raise ImportError(
+            "psrqpy is required for live ATNF extraction; install it or "
+            "pass a custom fetcher to atnf_run()"
+        ) from exc
+    query = QueryATNF(params=list(QUERY_PARAM_MAPPING.keys()), version=version)
+    return query.pandas
+
 QUERY_PARAM_MAPPING = {
     "NAME": "known_ps_name",
     "RAJ": "known_ps_ra",

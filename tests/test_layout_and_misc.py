@@ -181,3 +181,16 @@ def test_jaccard_doc_frequency_cap(spark):
     rows = capped.collect()
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == {(1, 3)}
     assert rows[0]["jaccard"] == 1.0
+
+
+def test_cli_parser():
+    from ska_src_maltopuft_etl_spark.cli import build_parser
+
+    p = build_parser()
+    a = p.parse_args(["meertrap", "/data/x", "--output", "/out", "--no-validate",
+                      "--incremental", "--partition-key", "2023-11-20"])
+    assert a.command == "meertrap" and a.no_validate and a.incremental
+    a = p.parse_args(["untar", "src", "dst", "--remove-archives"])
+    assert a.command == "untar" and a.remove_archives
+    a = p.parse_args(["reorg", "/data"])
+    assert a.command == "reorg"
