@@ -1054,3 +1054,51 @@ def sql_frontend_q01(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    covers=("A2",),
+    description="hierarchical ROLLUP totals (multi-level agg in one pass)",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "revenue",
+        )
+    )
+
+
+@register(
+    "percentile_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+    covers=("A2",),
+    description="exact interpolated percentiles per group (ordered aggregate)",
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.min("o_totalprice"), 2).alias("lo"),
+        F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
