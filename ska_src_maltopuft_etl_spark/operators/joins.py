@@ -176,6 +176,13 @@ def interval_join(
     rstart = f"{right_prefix}{right_start}"
     rend = f"{right_prefix}{right_end}"
 
+    # Internal per-row id so the tie-break window keys on left ROWS, not
+    # left values — duplicate left rows must each keep their own match.
+    # (The id never leaves the operator, so monotonic non-determinism is
+    # harmless.)
+    out_cols = list(left.columns)
+    left = left.withColumn("__iv_rowid", F.monotonically_increasing_id())
+
     rhs = F.broadcast(renamed) if broadcast_right else renamed
     cond = (F.col(rstart) <= left[left_ts]) & (F.col(rend) >= left[left_ts])
     for k in by:
@@ -187,13 +194,14 @@ def interval_join(
     if tie_break is not None:
         tb = f"{right_prefix}{tie_break}"
         order = F.col(tb).desc_nulls_last() if tie_break_desc else F.col(tb).asc_nulls_last()
-        w = Window.partitionBy(*[F.col(c) for c in left.columns]).orderBy(order)
+        w = Window.partitionBy(F.col("__iv_rowid")).orderBy(order)
         joined = (
             joined.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-    return joined
+    out_rcols = [f"{right_prefix}{c}" for c in rcols]
+    return joined.select(*out_cols, *out_rcols)
 
 
 # ---------------------------------------------------------------------------

@@ -145,3 +145,21 @@ def test_remap_keys(spark):
     keymap = spark.createDataFrame([(1, 11), (2, 22)], "old int, new int")
     out = remap_keys(df, "fk", keymap)
     assert sorted(r["fk"] for r in out.collect()) == [11, 22, 99]
+
+
+def test_interval_join_duplicate_left_rows(spark):
+    # two IDENTICAL left rows must both survive with their own match
+    sb = spark.createDataFrame(
+        [(1, ts("2023-11-20 21:00:00"), ts("2023-11-20 22:00:00"))],
+        "sb_id int, start_at timestamp, est_end_at timestamp",
+    )
+    o = spark.createDataFrame(
+        [(ts("2023-11-20 21:30:00"), "x"), (ts("2023-11-20 21:30:00"), "x")],
+        "t_min timestamp, tag string",
+    )
+    out = interval_join(
+        o, sb, "t_min", "start_at", "est_end_at", tie_break="start_at"
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["sb_id"] == 1 for r in rows)
