@@ -338,12 +338,6 @@ def cosine_pairs_exact(
     from pyspark.sql.types import DoubleType, StructField, StructType
 
     spark = df.sparkSession
-    corpus = df.select(id_col, vec_col).toPandas()
-    ids_all = corpus[id_col].to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
-    dim = M.shape[1]
-    bc = spark.sparkContext.broadcast((ids_all, M))
-
     id_field = df.schema[id_col]
     out_schema = StructType(
         [
@@ -352,6 +346,13 @@ def cosine_pairs_exact(
             StructField("cosine", DoubleType()),
         ]
     )
+    corpus = df.select(id_col, vec_col).toPandas()
+    if not len(corpus):
+        return spark.createDataFrame([], out_schema)
+    ids_all = corpus[id_col].to_numpy()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
+    dim = M.shape[1]
+    bc = spark.sparkContext.broadcast((ids_all, M))
 
     def _norms(mat: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(mat.shape[0])
