@@ -90,7 +90,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = similarity.ngram_shingles(d, "doc_id", "text", n=3).persist()
     sigs = similarity.minhash_signatures(sh, "doc_id", num_hashes=16)
-    cands = similarity.lsh_candidate_pairs(sigs, "doc_id", band_size=4)
+    # candidate pairs are tiny but referenced three times below; cutting
+    # lineage here keeps the final plan linear instead of re-planning the
+    # signature subtree per reference (45 -> ~8 exchanges).
+    cands = similarity.lsh_candidate_pairs(sigs, "doc_id", band_size=4).localCheckpoint()
     # Exact-verify ONLY the candidate pairs: restrict the shingle table
     # to docs that appear in any candidate pair before the quadratic
     # intersection join — at scale the verification cost is proportional
