@@ -393,3 +393,29 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return scored.join(dups, "doc_id", "left_anti").select("doc_id", "quality")
+
+
+@register(
+    "dedup_fuzzy_levenshtein",
+    oracle="""
+    SELECT a.s_suppkey AS supp_a, b.s_suppkey AS supp_b,
+           levenshtein(a.s_name, b.s_name) AS distance
+    FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+    WHERE levenshtein(a.s_name, b.s_name) <= 2
+    """,
+    covers=("J1",),
+    description="edit-distance fuzzy matching (record-linkage dedup family)",
+)
+def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"))
+    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"))
+    return (
+        a.join(b, F.col("supp_a") < F.col("supp_b"))
+        .select(
+            "supp_a",
+            "supp_b",
+            F.levenshtein("__na", "__nb").alias("distance"),
+        )
+        .where(F.col("distance") <= 2)
+    )

@@ -1102,3 +1102,62 @@ def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
     )
+
+
+@register(
+    "window_running_and_moving",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+           ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg3,
+           NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey) AS spend_quartile
+    FROM orders
+    """,
+    covers=("W4", "W6"),
+    description="running sum, moving average frame, and ntile in one window pass",
+)
+def window_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w_time = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum("o_totalprice").over(w_time.rowsBetween(Window.unboundedPreceding, 0)), 2
+        ).alias("running_spend"),
+        F.round(
+            F.avg("o_totalprice").over(w_time.rowsBetween(-2, 0)), 4
+        ).alias("moving_avg3"),
+        F.ntile(4)
+        .over(Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey"))
+        .alias("spend_quartile"),
+    )
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+    FROM events GROUP BY user_id
+    """,
+    covers=("A2", "P7"),
+    description="pivot (long→wide) event-type counts per user",
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "user_id", *[F.coalesce(F.col(k), F.lit(0)).alias(k) for k in kinds]
+    )

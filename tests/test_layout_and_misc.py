@@ -194,3 +194,16 @@ def test_cli_parser():
     assert a.command == "untar" and a.remove_archives
     a = p.parse_args(["reorg", "/data"])
     assert a.command == "reorg"
+
+
+def test_format_roundtrips(spark, tmp_path):
+    from ska_src_maltopuft_etl_spark.sinks.formats import read_table, write_table
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    orig = load_table(spark, "/root/testdata/sf0.001", "nation")
+    baseline = sorted(tuple(r) for r in orig.collect())
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"nation_{fmt}")
+        write_table(orig, path, fmt)
+        back = read_table(spark, path, fmt, schema=orig.schema)
+        assert sorted(tuple(r) for r in back.collect()) == baseline, fmt
