@@ -540,7 +540,8 @@ def enum_mapping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regex_extract_props",
     oracle="""
     SELECT event_type,
-           SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS k_sum,
+           CAST(SUM(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT))
+                AS BIGINT) AS k_sum,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     """,
@@ -863,9 +864,9 @@ def datetime_string_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS n_low,
-           SUM(CASE WHEN CASE WHEN value < 1.0 THEN NULL ELSE value END IS NULL
-                    THEN 1 ELSE 0 END) AS n_null
+           CAST(SUM(CASE WHEN value < 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           CAST(SUM(CASE WHEN CASE WHEN value < 1.0 THEN NULL ELSE value END IS NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_null
     FROM events GROUP BY event_type
     """,
     covers=("P6", "A3", "A4", "P7"),
@@ -1140,11 +1141,11 @@ def window_running_and_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_event_counts",
     oracle="""
     SELECT user_id,
-           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-           SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-           SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
     FROM events GROUP BY user_id
     """,
     covers=("A2", "P7"),

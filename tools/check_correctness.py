@@ -93,6 +93,21 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        # Guard: HUGEINT/DECIMAL surface columns canonicalize differently in
+        # the driver's comparator (local Python ints mask the difference) —
+        # CAST integer SUMs to BIGINT in the oracle SQL.
+        try:
+            desc = con.execute(f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+            bad_types = [
+                (r[0], r[1])
+                for r in desc
+                if "HUGEINT" in r[1] or "DECIMAL" in r[1] or "UINTEGER" in r[1]
+                or "UBIGINT" in r[1]
+            ]
+            if bad_types:
+                problems.append(f"oracle surfaces non-portable types {bad_types}")
+        except Exception:
+            pass
         if sorted(scols) != sorted(ocols):
             problems.append(f"schema spark={sorted(scols)} oracle={sorted(ocols)}")
         if len(srows) != len(orows):
