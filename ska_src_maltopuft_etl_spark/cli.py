@@ -103,10 +103,16 @@ def main(argv: list[str] | None = None) -> int:
                     print(f"{name}: {df.count()} rows")
         elif args.command == "atnf":
             from ska_src_maltopuft_etl_spark.plans.atnf import atnf_run, psrqpy_fetcher
-            from ska_src_maltopuft_etl_spark.sinks import ATNF_TARGETS, load_targets
+            from ska_src_maltopuft_etl_spark.sinks import ATNF_TARGETS, incremental_load
 
             tables = atnf_run(spark, psrqpy_fetcher)
-            load_targets(spark, tables, ATNF_TARGETS, output_dir=args.output)
+            if args.output:
+                # incremental_load reconciles the batch-local ids (e.g.
+                # catalogue_visit_id=1 from transform()) above the existing
+                # table's max and remaps known_pulsar FKs, so each visit
+                # gets a fresh id — matching the reference's
+                # INSERT..RETURNING per-visit behavior.
+                tables = incremental_load(spark, tables, ATNF_TARGETS, args.output)
             for name, df in tables.items():
                 print(f"{name}: {df.count()} rows")
     finally:

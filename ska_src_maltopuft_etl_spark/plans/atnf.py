@@ -64,7 +64,17 @@ def extract(
 
 def transform(df: DataFrame) -> DataFrame:
     """Coordinates to degrees, pos literal, catalogue constants
-    (atnf/atnf.py:38-77)."""
+    (atnf/atnf.py:38-77).
+
+    ``catalogue_id`` / ``catalogue_visit_id`` are *batch-local* ids (the
+    reference gets fresh DB ids per visit via INSERT..RETURNING,
+    atnf/atnf.py:80-94). Persisting multiple visits therefore MUST go
+    through :func:`~ska_src_maltopuft_etl_spark.sinks.incremental_load`
+    (as the CLI does), which assigns each new visit an id above the
+    existing table's max and remaps ``known_pulsar.catalogue_visit_id``
+    accordingly — a raw ``load_targets`` append would collide every
+    visit onto id 1 and silently anti-join the new pulsar rows away.
+    """
     return (
         df.withColumns(
             {

@@ -304,10 +304,24 @@ def get_beam_df(wide: DataFrame) -> DataFrame:
             "host_hostname",
         ]
     )
+    # Order-by must be a TOTAL order over the dedup subset — two beams
+    # differing only in ra/dec/hostname would otherwise tie and receive
+    # nondeterministic ids across runs (they share the (number, coherent,
+    # observation_id) natural key, so incremental_load's existing-row
+    # match would pick an arbitrary winner).
     return surrogate_key(
         beams,
         "beam_id",
-        ["observation_id", "beam_number", F.col("beam_coherent").desc(), "host_ip_address", "host_port"],
+        [
+            "observation_id",
+            "beam_number",
+            F.col("beam_coherent").desc(),
+            "host_ip_address",
+            "host_port",
+            "beam_ra",
+            "beam_dec",
+            "host_hostname",
+        ],
     )
 
 

@@ -68,19 +68,40 @@ def prepare_data_for_insert(df: DataFrame, target: TargetInformation) -> DataFra
     return df.select(*renamed).dropDuplicates([stripped(target.primary_key)])
 
 
+def _null_safe_key_condition(left_cols: Sequence[str], right_cols: Sequence[str]):
+    """AND-fold of null-safe equality over paired key columns.
+
+    Natural keys may legitimately contain NULL (e.g. sp_candidate
+    plot_path); a plain equi-join never matches those rows, so every
+    re-run would re-append them with fresh ids. ``eqNullSafe`` keys still
+    plan as hash joins (EqualNullSafe is a supported equi-join key)."""
+    cond = None
+    for lc, rc in zip(left_cols, right_cols):
+        e = F.col(lc).eqNullSafe(F.col(rc))
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
 def merge_append(
     new_rows: DataFrame,
     existing: DataFrame | None,
     unique_key: Sequence[str],
 ) -> DataFrame:
     """Rows of ``new_rows`` whose natural key is absent from ``existing``
-    (the MERGE WHEN NOT MATCHED INSERT half, K3/K4 semantics)."""
+    (the MERGE WHEN NOT MATCHED INSERT half, K3/K4 semantics).
+
+    NULL-valued key columns match null-safely, and the join strategy is
+    left to AQE — the existing table grows without bound across runs, so
+    a forced broadcast would eventually OOM.
+    """
     if existing is None or not unique_key:
         return new_rows
+    aliased = [f"__nk_{i}" for i in range(len(unique_key))]
+    keys = existing.select(
+        *[F.col(c).alias(a) for c, a in zip(unique_key, aliased)]
+    ).dropDuplicates()
     return new_rows.join(
-        F.broadcast(existing.select(*unique_key).dropDuplicates()),
-        on=list(unique_key),
-        how="left_anti",
+        keys, on=_null_safe_key_condition(list(unique_key), aliased), how="left_anti"
     )
 
 
@@ -97,6 +118,17 @@ def load_targets(
     Parquet mode: merge-append against any existing table directory.
     JDBC mode: anti-join against the current table contents then append —
     one statement per table, never per row.
+
+    .. warning::
+       ``load_targets`` appends rows with their *batch-local* surrogate
+       pks and does NOT remap child FKs to surviving existing parents.
+       It is therefore re-run-idempotent **only for identical batches**
+       (an exact re-run anti-joins every row away). A batch that
+       partially overlaps existing data would drop matched parents while
+       children still reference batch-local ids — use
+       :func:`incremental_load`, which reconciles ids above the existing
+       max and remaps FKs through per-table keymaps, for any overlapping
+       or multi-run workflow.
     """
     loaded: dict[str, DataFrame] = {}
     for target in targets:
@@ -221,12 +253,18 @@ def incremental_load(
 
         nk = list(target.unique_key) or [c for c in df.columns if c != pk]
         if existing is not None:
+            aliased = [f"__nk_{i}" for i in range(len(nk))]
             match = existing.select(
-                *nk, F.col(pk).alias("__existing_id")
-            ).dropDuplicates(nk)
+                *[F.col(c).alias(a) for c, a in zip(nk, aliased)],
+                F.col(pk).alias("__existing_id"),
+            ).dropDuplicates(aliased)
             # existing tables grow without bound — let AQE pick the join
-            # strategy instead of forcing a broadcast.
-            df = df.join(match, nk, "left")
+            # strategy instead of forcing a broadcast. Null-safe equality
+            # so NULL key columns (e.g. sp_candidate plot_path) match on
+            # re-runs instead of re-appending with fresh ids.
+            df = df.join(
+                match, _null_safe_key_condition(nk, aliased), "left"
+            ).drop(*aliased)
             offset_row = existing.agg(F.max(pk).alias("m")).first()
             offset = int(offset_row["m"] or 0)
         else:
