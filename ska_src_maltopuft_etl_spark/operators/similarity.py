@@ -106,45 +106,107 @@ def jaccard_pairs(
 # MinHash + LSH (approximate near-dup)
 # ---------------------------------------------------------------------------
 
+def md5_hash60(c: Column) -> Column:
+    """Portable 60-bit integer hash: first 15 hex chars of md5, base 16.
+
+    Engine-independent (any engine with md5 reproduces it — DuckDB:
+    ``CAST('0x' || substr(md5(x), 1, 15) AS BIGINT)``), unlike xxhash64
+    whose seed/implementation is Spark-specific. ~2-3× the cost of
+    xxhash64, so it is the *verification* hash; the default fast path
+    stays on xxhash64.
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+#: Mersenne prime 2^31 - 1: affine products stay < 2^62, so the modular
+#: arithmetic is exact in any 64-bit-integer engine (no overflow wrap).
+MINHASH_PRIME = 2_147_483_647
+
+
+def minhash_affine_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_k, b_k) coefficients for the k-th permutation
+    ``(a_k * h + b_k) mod p``.
+
+    Derived from md5 digests of the literal strings ``"a<k>"`` / ``"b<k>"``
+    so (1) the coefficients are statistically independent across k —
+    closed-form LCG-style coefficients linear in k produce correlated
+    permutations and inflate the false-candidate rate — and (2) an
+    independent SQL oracle regenerates them from k alone with the same
+    hex-prefix trick as :func:`md5_hash60`.
+    """
+    import hashlib
+
+    p = MINHASH_PRIME
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % p
+
+    return [(h60(f"a{k}") or 1, h60(f"b{k}")) for k in range(num_hashes)]
+
+
 def minhash_signatures(
-    shingles: DataFrame, id_col: str, num_hashes: int = 16
+    shingles: DataFrame, id_col: str, num_hashes: int = 16, portable: bool = False
 ) -> DataFrame:
-    """MinHash signature per doc: for k in [0,num_hashes), min over
-    shingles of xxhash64(k || shingle). One explode + one hash-agg."""
-    hashed = shingles.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("k"),
-        F.col("shingle"),
-    ).withColumn("h", F.xxhash64(F.concat_ws(":", F.col("k"), F.col("shingle"))))
+    """MinHash signature per doc via affine permutations of ONE base hash.
+
+    Classic scheme: base = hash(shingle) mod p once, then the k-th
+    signature slot is ``min((a_k * base + b_k) mod p)`` — num_hashes
+    plain MIN aggregates in a single groupBy. No k-explosion: the
+    shuffle carries one row per (doc, shingle) instead of num_hashes
+    rows, which is what makes 10k-hash signatures viable at 100 TB.
+
+    ``portable=True`` uses :func:`md5_hash60` as the base hash so the
+    whole signature (and downstream LSH banding) is bit-reproducible in
+    an independent SQL engine; the default base is xxhash64 (faster,
+    Spark-specific).
+    """
+    p = F.lit(MINHASH_PRIME)
+    if portable:
+        base = md5_hash60(F.col("shingle"))
+    else:
+        # pmod: xxhash64 is signed; Long.MIN_VALUE-safe positive residue
+        base = (F.xxhash64("shingle") % p + p) % p
+    params = minhash_affine_params(num_hashes)
+    aggs = [
+        F.min((F.lit(a) * F.col("__h") + F.lit(b)) % p).alias(f"__m{k}")
+        for k, (a, b) in enumerate(params)
+    ]
     return (
-        hashed.groupBy(id_col, "k")
-        .agg(F.min("h").alias("minh"))
+        shingles.withColumn("__h", base % p)
         .groupBy(id_col)
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("k", "minh"))), lambda s: s["minh"]
-            ).alias("signature")
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__m{k}") for k in range(num_hashes)]).alias(
+                "signature"
+            ),
         )
     )
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, id_col: str, band_size: int = 4
+    signatures: DataFrame, id_col: str, band_size: int = 4, portable: bool = False
 ) -> DataFrame:
     """Band the signatures and emit candidate pairs sharing any band.
 
     Equi-join on (band index, band hash): only near-duplicates collide,
     so the join output is ~linear in true-duplicate count, not O(n²).
+    ``portable=True`` uses an md5 band digest reproducible in an
+    independent SQL engine (join cardinality is identical; md5 vs
+    xxhash64 only changes the bucket labels).
     """
     n = band_size
+
+    def band_digest(b):
+        joined = F.concat_ws(",", F.slice(F.col("signature"), b * n + 1, n))
+        return F.md5(joined) if portable else F.xxhash64(joined)
+
     banded = signatures.select(
         F.col(id_col),
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.floor(F.size("signature") / n).cast("int") - 1),
-                lambda b: F.xxhash64(
-                    F.concat_ws(",", F.slice(F.col("signature"), b * n + 1, n))
-                ),
+                band_digest,
             )
         ).alias("band", "band_hash"),
     )

@@ -82,18 +82,75 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_minhash_lsh",
-    oracle=None,  # approximate: engine-hash-dependent → rows-only check
+    oracle="""
+    WITH ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+              UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM ws)),
+    shh AS (
+      SELECT doc_id, shingle,
+             CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+               % 2147483647 AS hb
+      FROM sh),
+    coefs AS (
+      SELECT u.k AS k,
+             greatest(CAST(CONCAT('0x', substr(md5('a' || CAST(u.k AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 2147483647, 1) AS a,
+             CAST(CONCAT('0x', substr(md5('b' || CAST(u.k AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2147483647 AS b
+      FROM UNNEST(generate_series(0, 15)) AS u(k)),
+    hashes AS (
+      SELECT doc_id, c.k AS k, MIN((c.a * hb + c.b) % 2147483647) AS minh
+      FROM shh, coefs c
+      GROUP BY doc_id, c.k),
+    sigs AS (
+      SELECT doc_id, list(minh ORDER BY k) AS signature FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, u.b AS band,
+             md5(array_to_string(signature[u.b*4+1 : u.b*4+4], ',')) AS band_hash
+      FROM sigs, UNNEST(generate_series(0, 3)) AS u(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_hash = b2.band_hash
+      WHERE a.doc_id < b2.doc_id),
+    cand_docs AS (
+      SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands),
+    shc AS (
+      SELECT sh.* FROM sh JOIN cand_docs USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT c.doc_a, c.doc_b,
+           COALESCE(ROUND(CAST(i.isect AS DOUBLE)
+                          / (sa.sz + sb.sz - i.isect), 6), 0.0) AS jaccard
+    FROM cands c
+    LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    """,
     covers=("S4", "W3"),
-    description="MinHash(16) + LSH(4-bands) candidate pairs verified by exact jaccard",
+    description="MinHash(16) + LSH(4-bands) candidate pairs verified by exact jaccard (md5-portable hash, full oracle)",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     sh = similarity.ngram_shingles(d, "doc_id", "text", n=3).persist()
-    sigs = similarity.minhash_signatures(sh, "doc_id", num_hashes=16)
+    # portable=True: md5-derived 60-bit hashes reproduce bit-for-bit in
+    # DuckDB, upgrading this from a rows-only check to a full value-hash
+    # oracle. The xxhash64 fast path stays available for production.
+    sigs = similarity.minhash_signatures(sh, "doc_id", num_hashes=16, portable=True)
     # candidate pairs are tiny but referenced three times below; cutting
     # lineage here keeps the final plan linear instead of re-planning the
     # signature subtree per reference (45 -> ~8 exchanges).
-    cands = similarity.lsh_candidate_pairs(sigs, "doc_id", band_size=4).localCheckpoint()
+    cands = similarity.lsh_candidate_pairs(
+        sigs, "doc_id", band_size=4, portable=True
+    ).localCheckpoint()
     # Exact-verify ONLY the candidate pairs: restrict the shingle table
     # to docs that appear in any candidate pair before the quadratic
     # intersection join — at scale the verification cost is proportional
