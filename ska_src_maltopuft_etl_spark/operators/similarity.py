@@ -306,6 +306,23 @@ def cosine_topk_bruteforce(
     )
 
 
+def hyperplane_signs(num_planes: int, dim: int) -> list[list[int]]:
+    """±1 hyperplane matrix derived from md5 of ``"pl<p>:<d>"`` — the
+    sign is the parity of the digest's first hex nibble, so an
+    independent SQL engine regenerates the exact same planes."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"pl{p}:{d}".encode()).hexdigest()[0], 16) & 1
+            else -1
+            for d in range(1, dim + 1)
+        ]
+        for p in range(num_planes)
+    ]
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
@@ -315,6 +332,7 @@ def cosine_topk_lsh(
     num_planes: int = 8,
     seed: int = 42,
     decimals: int = 5,
+    portable: bool = False,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing.
 
@@ -323,24 +341,52 @@ def cosine_topk_lsh(
     bucket — at 100 TB the crossJoin becomes an equi-join on the bucket
     key. Recall is tunable via ``num_planes`` (fewer planes → bigger
     buckets → higher recall/cost).
+
+    ``portable=True`` swaps the Gaussian planes for md5-derived ±1
+    planes (:func:`hyperplane_signs`) applied to micro-quantized vectors
+    (``floor(x*1e6 + 0.5)`` as int64): the bucket bit is then a pure
+    integer sum — no float summation-order sensitivity — so buckets,
+    candidates, and the final top-k reproduce bit-for-bit in an
+    independent SQL engine. Sign-pattern planes are a standard SimHash
+    family; recall behavior is comparable to Gaussian planes.
     """
     dim_df = corpus.select(F.size(F.col(vec_col)).alias("d")).limit(1)
     dim = dim_df.first()["d"]
-    import random
 
-    rng = random.Random(seed)
-    planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+    if portable:
+        signs = hyperplane_signs(num_planes, dim)
 
-    def bucket(vec: Column) -> Column:
-        bits = []
-        for p in planes:
-            plane = F.array(*[F.lit(x) for x in p])
-            bits.append(
-                F.when(_dot(_as_double_vec(vec), plane) >= 0, F.lit("1")).otherwise(
-                    F.lit("0")
-                )
+        def bucket(vec: Column) -> Column:
+            qvec = F.transform(
+                vec, lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long")
             )
-        return F.concat(*bits)
+            bits = []
+            for p in signs:
+                plane = F.array(*[F.lit(s).cast("long") for s in p])
+                acc = F.aggregate(
+                    F.zip_with(qvec, plane, lambda x, s: x * s),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+                bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
+            return F.concat(*bits)
+
+    else:
+        import random
+
+        rng = random.Random(seed)
+        planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
+
+        def bucket(vec: Column) -> Column:
+            bits = []
+            for p in planes:
+                plane = F.array(*[F.lit(x) for x in p])
+                bits.append(
+                    F.when(
+                        _dot(_as_double_vec(vec), plane) >= 0, F.lit("1")
+                    ).otherwise(F.lit("0"))
+                )
+            return F.concat(*bits)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),

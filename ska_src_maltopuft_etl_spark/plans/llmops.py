@@ -318,15 +318,60 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "knn_cosine_lsh",
-    oracle=None,  # approximate (bucketed) → rows-only check
+    oracle="""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings WHERE vec_id >= 10),
+         dims AS (SELECT len(e) AS dim FROM c LIMIT 1),
+         planes AS (
+           SELECT p.p AS p, d.d AS d,
+                  2 * (CAST(strpos('0123456789abcdef',
+                       substr(md5('pl' || CAST(p.p AS VARCHAR) || ':'
+                                  || CAST(d.d AS VARCHAR)), 1, 1)) - 1 AS BIGINT)
+                       & 1) - 1 AS s
+           FROM UNNEST(generate_series(0, 3)) AS p(p), dims,
+                UNNEST(generate_series(1, dim)) AS d(d)),
+         qb AS (
+           SELECT vec_id,
+                  string_agg(CASE WHEN bp >= 0 THEN '1' ELSE '0' END, ''
+                             ORDER BY p) AS bucket
+           FROM (SELECT q.vec_id, pl.p,
+                        SUM(pl.s * CAST(floor(q.e[pl.d] * 1000000 + 0.5)
+                                        AS BIGINT)) AS bp
+                 FROM q, planes pl GROUP BY q.vec_id, pl.p)
+           GROUP BY vec_id),
+         cb AS (
+           SELECT vec_id,
+                  string_agg(CASE WHEN bp >= 0 THEN '1' ELSE '0' END, ''
+                             ORDER BY p) AS bucket
+           FROM (SELECT c.vec_id, pl.p,
+                        SUM(pl.s * CAST(floor(c.e[pl.d] * 1000000 + 0.5)
+                                        AS BIGINT)) AS bp
+                 FROM c, planes pl GROUP BY c.vec_id, pl.p)
+           GROUP BY vec_id),
+         scored AS (
+           SELECT qv.vec_id AS query_id, cv.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(qv.e, cv.e), 5) AS cosine
+           FROM q qv JOIN qb ON qv.vec_id = qb.vec_id
+                JOIN cb ON qb.bucket = cb.bucket
+                JOIN c cv ON cv.vec_id = cb.vec_id),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+    """,
     covers=("J1",),
-    description="random-hyperplane LSH-bucketed approximate cosine top-5 (scale path)",
+    description="hyperplane LSH-bucketed approximate cosine top-5 (md5-sign planes over quantized vectors — full oracle)",
 )
 def knn_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
-    return similarity.cosine_topk_lsh(q, c, "vec_id", "embedding", k=5, num_planes=4)
+    return similarity.cosine_topk_lsh(
+        q, c, "vec_id", "embedding", k=5, num_planes=4, portable=True
+    )
 
 
 @register(
