@@ -253,6 +253,21 @@ def dot_expanded(a: Column, b: Column, dim: int) -> Column:
     return acc
 
 
+def dot_expr(a_name: str, b_name: str, dim: int) -> Column:
+    """Same expanded dot product as :func:`dot_expanded`, built as ONE
+    SQL string parsed JVM-side.
+
+    Building a dim-term tree through the Python Column API costs ~4
+    Py4J round-trips per term (hundreds of ms at dim=64, per call
+    site); a single ``F.expr`` ships the whole expression in one call.
+    Bracket indexing is 0-based in Spark SQL, so ``a[i]`` here equals
+    ``element_at(a, i+1)`` — the left-associative sum order (hence
+    bitwise result) is identical to :func:`dot_expanded`.
+    """
+    terms = " + ".join(f"{a_name}[{i}] * {b_name}[{i}]" for i in range(dim))
+    return F.expr(f"({terms})") if dim else F.lit(0.0)
+
+
 def vector_dim(df: DataFrame, vec_col: str) -> int:
     row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).first()
     return int(row["d"]) if row else 0
@@ -291,8 +306,7 @@ def cosine_topk_bruteforce(
         "query_id",
         "neighbor_id",
         F.round(
-            dot_expanded(F.col("__qv"), F.col("__cv"), dim)
-            / (F.col("__qn") * F.col("__cn")),
+            dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")),
             decimals,
         ).alias("cosine"),
     )
@@ -356,20 +370,28 @@ def cosine_topk_lsh(
     if portable:
         signs = hyperplane_signs(num_planes, dim)
 
-        def bucket(vec: Column) -> Column:
-            qvec = F.transform(
-                vec, lambda x: F.floor(x.cast("double") * 1e6 + 0.5).cast("long")
+        def add_bucket(df: DataFrame, dvec: str) -> DataFrame:
+            # one quantization pass materialized as a column (multi-ref
+            # non-cheap alias — CollapseProject keeps it single-eval),
+            # then every plane bit is an exact integer sum over it. The
+            # whole bucket is ONE parsed SQL string: building 4×dim
+            # sign terms through the Column API costs 4 Py4J calls per
+            # term, which dominated this operator's wall time.
+            qq = F.expr(
+                f"transform({dvec}, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT))"
             )
             bits = []
             for p in signs:
-                plane = F.array(*[F.lit(s).cast("long") for s in p])
-                acc = F.aggregate(
-                    F.zip_with(qvec, plane, lambda x, s: x * s),
-                    F.lit(0).cast("long"),
-                    lambda a, x: a + x,
+                terms = " ".join(
+                    ("+" if s > 0 else "-") + f" __qq[{d}]" for d, s in enumerate(p)
                 )
-                bits.append(F.when(acc >= 0, F.lit("1")).otherwise(F.lit("0")))
-            return F.concat(*bits)
+                bits.append(f"CASE WHEN (0 {terms}) >= 0 THEN '1' ELSE '0' END")
+            bucket = F.expr("concat(" + ", ".join(bits) + ")")
+            return (
+                df.withColumn("__qq", qq)
+                .withColumn("__bucket", bucket)
+                .drop("__qq")
+            )
 
     else:
         import random
@@ -377,33 +399,36 @@ def cosine_topk_lsh(
         rng = random.Random(seed)
         planes = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(num_planes)]
 
-        def bucket(vec: Column) -> Column:
+        def add_bucket(df: DataFrame, dvec: str) -> DataFrame:
             bits = []
             for p in planes:
-                plane = F.array(*[F.lit(x) for x in p])
+                plane = F.lit(p)
                 bits.append(
-                    F.when(
-                        _dot(_as_double_vec(vec), plane) >= 0, F.lit("1")
-                    ).otherwise(F.lit("0"))
+                    F.when(_dot(F.col(dvec), plane) >= 0, F.lit("1")).otherwise(
+                        F.lit("0")
+                    )
                 )
-            return F.concat(*bits)
+            return df.withColumn("__bucket", F.concat(*bits))
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double_vec(F.col(vec_col)).alias("__qv"),
-        bucket(F.col(vec_col)).alias("__bucket"),
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double_vec(F.col(vec_col)).alias("__cv"),
-        bucket(F.col(vec_col)).alias("__bucket"),
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    q = add_bucket(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double_vec(F.col(vec_col)).alias("__qv"),
+        ).withColumn("__qn", l2_norm(F.col("__qv"))),
+        "__qv",
+    )
+    c = add_bucket(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double_vec(F.col(vec_col)).alias("__cv"),
+        ).withColumn("__cn", l2_norm(F.col("__cv"))),
+        "__cv",
+    )
     scored = q.join(c, "__bucket").select(
         "query_id",
         "neighbor_id",
         F.round(
-            dot_expanded(F.col("__qv"), F.col("__cv"), dim)
-            / (F.col("__qn") * F.col("__cn")),
+            dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")),
             decimals,
         ).alias("cosine"),
     )
@@ -584,8 +609,7 @@ def cosine_topk_ivf(
         "query_id",
         "neighbor_id",
         F.round(
-            dot_expanded(F.col("__qv"), F.col("__cv"), dim)
-            / (F.col("__qn") * F.col("__cn")),
+            dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")),
             decimals,
         ).alias("cosine"),
     ).dropDuplicates(["query_id", "neighbor_id"])

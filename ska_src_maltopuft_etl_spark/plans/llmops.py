@@ -22,6 +22,29 @@ LANG_MARKERS = {
 }
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Split an under-partitioned scan across the cluster.
+
+    The single-file test tables scan as ONE partition, and the stream
+    side of a BroadcastNestedLoopJoin runs at its input's partition
+    count — i.e. an O(n²) pair enumeration over a 1-partition input is
+    single-threaded. AQE only coalesces partitions, never splits them,
+    so the fix must be explicit. A no-op when the scan is already at
+    least as parallel as the cluster (the 100 TB case: thousands of
+    input splits).
+
+    Use ONLY in front of pair-enumeration joins: for ordinary
+    map+shuffle pipelines the repartition's extra shuffle (with its
+    sort-before-repartition pass and full-payload materialization)
+    costs more than the map-side parallelism it buys — measured 2-4×
+    slower on the text/multimodal battery entries.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents")
 
@@ -509,15 +532,30 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="edit-distance fuzzy matching (record-linkage dedup family)",
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    s = load_table(spark, sf_dir, "supplier")
+    # exact all-pairs is inherently quadratic on common-prefix names
+    # (every segment/q-gram block degenerates to the full table), so the
+    # scale levers are (a) stream-side parallelism of the BNLJ —
+    # _spread, 1 → n_cores tasks — and (b) the length-band prefilter
+    # below, which is the standard record-linkage blocking step.
+    s = _spread(load_table(spark, sf_dir, "supplier"))
     a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"))
     b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"))
+    # |len(a)-len(b)| <= 2 is a necessary condition for distance <= 2:
+    # an exact blocking predicate evaluated before the levenshtein DP.
     return (
-        a.join(b, F.col("supp_a") < F.col("supp_b"))
+        a.join(
+            b,
+            (F.col("supp_a") < F.col("supp_b"))
+            & (
+                F.abs(F.length("__na") - F.length("__nb")) <= F.lit(2)
+            ),
+        )
         .select(
             "supp_a",
             "supp_b",
-            F.levenshtein("__na", "__nb").alias("distance"),
+            # threshold form early-exits the DP once distance > 2
+            # (returns -1), and is exact for every surviving pair.
+            F.levenshtein("__na", "__nb", 2).alias("distance"),
         )
-        .where(F.col("distance") <= 2)
+        .where(F.col("distance") >= 0)
     )
