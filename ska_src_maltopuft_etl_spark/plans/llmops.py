@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ska_src_maltopuft_etl_spark.operators import multimodal, similarity, text
+from ska_src_maltopuft_etl_spark.operators import graph, multimodal, similarity, text
 from ska_src_maltopuft_etl_spark.plans.registry import register
 from ska_src_maltopuft_etl_spark.sources import load_table
 
@@ -98,8 +98,9 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    # the shingle table feeds sizes + both self-join sides: cache it
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3).persist()
+    # the shingle table feeds sizes + both self-join sides: cache it.
+    # hashed=True: the self-join shuffles 8-byte longs, not 3-word strings.
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, hashed=True).persist()
     return similarity.jaccard_pairs(sh, "doc_id", min_intersection=2)
 
 
@@ -163,7 +164,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3).persist()
+    # distinct=False: MinHash's MIN is duplicate-insensitive, so the
+    # signature path needs NO shingle-set shuffle — the explode feeds a
+    # map-side-combined groupBy whose shuffle is 16 longs per doc.
+    sh = similarity.ngram_shingles(
+        d, "doc_id", "text", n=3, distinct=False
+    ).persist()
     # portable=True: md5-derived 60-bit hashes reproduce bit-for-bit in
     # DuckDB, upgrading this from a rows-only check to a full value-hash
     # oracle. The xxhash64 fast path stays available for production.
@@ -183,7 +189,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh_cand = sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+    # Hash + dedup AFTER the candidate restriction: the distinct (the
+    # shuffle the signature path avoided) now runs only over candidate
+    # docs' shingles, as 8-byte longs rather than strings.
+    sh_cand = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .select("doc_id", F.xxhash64("shingle").alias("shingle"))
+        .dropDuplicates(["doc_id", "shingle"])
+    )
     exact = similarity.jaccard_pairs(sh_cand, "doc_id", min_intersection=1)
     return cands.join(exact, ["doc_a", "doc_b"], "left").select(
         "doc_a", "doc_b", F.coalesce("jaccard", F.lit(0.0)).alias("jaccard")
@@ -511,13 +524,66 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "doc_id", text.quality_score("text").alias("quality")
     ).where(F.col("quality") >= 0.3)
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, hashed=True)
     dups = (
         similarity.jaccard_pairs(sh, "doc_id", min_intersection=1, threshold=0.5)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
     )
     return scored.join(dups, "doc_id", "left_anti").select("doc_id", "quality")
+
+
+@register(
+    "dedup_connected_components",
+    oracle="""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             toks[u.g] || ' ' || toks[u.g+1] || ' ' || toks[u.g+2] AS shingle
+      FROM t, UNNEST(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(g)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS cnt
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+    edges AS (
+      SELECT doc_a, doc_b FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.doc_a
+      JOIN sizes sb ON sb.doc_id = i.doc_b
+      WHERE i.cnt / CAST(sa.sz + sb.sz - i.cnt AS DOUBLE) >= 0.5),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node)
+    SELECT node AS doc_id, MIN(lbl) AS component,
+           CAST(node = MIN(lbl) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    covers=("R1", "A2", "J1", "W5"),
+    description=(
+        "near-dup clustering: jaccard>=0.5 edges -> distributed connected "
+        "components (min-label propagation) -> canonical doc per cluster"
+    ),
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation, the step after pair generation.
+
+    The oracle computes the same components with a recursive CTE
+    (min-label closure); the engine side is the iterative DataFrame
+    label propagation in :mod:`operators.graph`, whose per-round cost
+    is one keyed join + one hash-agg — the 100 TB-safe formulation.
+    """
+    d = _docs(spark, sf_dir)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, hashed=True)
+    edges = similarity.jaccard_pairs(
+        sh, "doc_id", min_intersection=2, threshold=0.5
+    )
+    return graph.dedup_clusters(
+        edges, src="doc_a", dst="doc_b", nodes=d.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), "component", "is_canonical")
 
 
 @register(

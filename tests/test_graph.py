@@ -1,0 +1,105 @@
+"""Connected-components operator: hand cases + property vs union-find."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ska_src_maltopuft_etl_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+)
+
+
+def _uf_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Reference union-find: node -> min id of its component."""
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_two_triangles_and_isolate(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 10, 11, 12, 99)], ["id"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_chain_converges(spark):
+    # worst case for label propagation: a path graph (diameter = n-1);
+    # doubling via the self-label union still converges within max_iter
+    n = 12
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_dedup_clusters_canonical_flag(spark):
+    edges = spark.createDataFrame([(5, 3), (3, 9)], ["src", "dst"])
+    rows = {r["node"]: r for r in dedup_clusters(edges).collect()}
+    assert rows[3]["is_canonical"] is True
+    assert rows[5]["is_canonical"] is False
+    assert rows[9]["is_canonical"] is False
+
+
+def test_self_loops_and_duplicate_edges_ignored(spark):
+    edges = spark.createDataFrame(
+        [(1, 1), (1, 2), (2, 1), (1, 2)], ["src", "dst"]
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1}
+
+
+def test_empty_edges_with_nodes(spark):
+    edges = spark.createDataFrame([], "src int, dst int")
+    nodes = spark.createDataFrame([(7,), (8,)], ["id"])
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, nodes=nodes).collect()
+    }
+    assert got == {7: 7, 8: 8}
+
+
+def test_non_convergence_raises(spark):
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 19), st.integers(0, 19)), max_size=40
+    )
+)
+def test_matches_union_find(spark, edges):
+    n = 20
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["id"])
+    if edges:
+        edf = spark.createDataFrame(edges, ["src", "dst"])
+    else:
+        edf = spark.createDataFrame([], "src int, dst int")
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edf, nodes=nodes, max_iter=30).collect()
+    }
+    want = _uf_components(n, edges)
+    assert got == want
