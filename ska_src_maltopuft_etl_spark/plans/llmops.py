@@ -625,3 +625,42 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("distance") >= 0)
     )
+
+
+@register(
+    "dedup_normalized_text",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                 ' +', ' ', 'g')) AS ntext
+      FROM documents)
+    SELECT md5(ntext) AS norm_fingerprint,
+           MIN(doc_id) AS kept_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS group_size
+    FROM norm GROUP BY md5(ntext)
+    """,
+    covers=("S4", "W3", "F1"),
+    description="normalization-then-exact dedup: casefold + punctuation strip + whitespace collapse, md5 groupBy (catches trivially-reformatted duplicates exact dedup misses)",
+)
+def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap middle ground between exact and near-dup: normalize
+    away case/punctuation/whitespace noise, then hash-group. One
+    map-side projection + one hash-agg — the same shuffle profile as
+    exact dedup at any scale."""
+    d = _docs(spark, sf_dir)
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return (
+        d.select(F.md5(ntext).alias("norm_fingerprint"), "doc_id")
+        .groupBy("norm_fingerprint")
+        .agg(
+            F.min("doc_id").alias("kept_doc_id"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+    )
