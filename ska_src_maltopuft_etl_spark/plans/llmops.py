@@ -664,3 +664,89 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("group_size"),
         )
     )
+
+
+@register(
+    "corpus_dedup_clusters_lsh",
+    oracle="""
+    WITH RECURSIVE ws AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS toks
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, shingle
+      FROM (SELECT doc_id,
+              UNNEST(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                                    i -> array_to_string(toks[i:i+2], ' '))) AS shingle
+            FROM ws)),
+    shh AS (
+      SELECT doc_id, shingle,
+             CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT)
+               % 2147483647 AS hb
+      FROM sh),
+    coefs AS (
+      SELECT u.k AS k,
+             greatest(CAST(CONCAT('0x', substr(md5('a' || CAST(u.k AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 2147483647, 1) AS a,
+             CAST(CONCAT('0x', substr(md5('b' || CAST(u.k AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 2147483647 AS b
+      FROM UNNEST(generate_series(0, 15)) AS u(k)),
+    hashes AS (
+      SELECT doc_id, c.k AS k, MIN((c.a * hb + c.b) % 2147483647) AS minh
+      FROM shh, coefs c
+      GROUP BY doc_id, c.k),
+    sigs AS (
+      SELECT doc_id, list(minh ORDER BY k) AS signature FROM hashes GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, u.b AS band,
+             md5(array_to_string(signature[u.b*4+1 : u.b*4+4], ',')) AS band_hash
+      FROM sigs, UNNEST(generate_series(0, 3)) AS u(b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_hash = b2.band_hash
+      WHERE a.doc_id < b2.doc_id),
+    cand_docs AS (
+      SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands),
+    shc AS (
+      SELECT sh.* FROM sh JOIN cand_docs USING (doc_id)),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS isect
+      FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    edges AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cands c
+      LEFT JOIN inter i ON c.doc_a = i.doc_a AND c.doc_b = i.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      WHERE COALESCE(CAST(i.isect AS DOUBLE)
+                     / (sa.sz + sb.sz - i.isect), 0.0) >= 0.5),
+    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
+            UNION SELECT doc_b, doc_a FROM edges),
+    reach(node, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT u.b, r.lbl FROM reach r JOIN und u ON u.a = r.node)
+    SELECT node AS doc_id, MIN(lbl) AS component,
+           CAST(node = MIN(lbl) AS BOOLEAN) AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    covers=("S4", "W3", "J1"),
+    description=(
+        "production dedup path end-to-end: MinHash+LSH candidates -> "
+        "exact-verify jaccard on candidates only -> threshold edges -> "
+        "connected components -> canonical doc per cluster (full oracle)"
+    ),
+)
+def corpus_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composition SCALING.md describes as the 100 TB path: every
+    stage is ~linear in corpus size or duplicate count — LSH banding
+    replaces the quadratic pair join, exact verification is restricted
+    to candidates, and clustering runs on the (tiny) verified edge set.
+    """
+    d = _docs(spark, sf_dir)
+    verified = dedup_minhash_lsh(spark, sf_dir)
+    edges = verified.where(F.col("jaccard") >= 0.5)
+    return graph.dedup_clusters(
+        edges, src="doc_a", dst="doc_b", nodes=d.select("doc_id")
+    ).select(F.col("node").alias("doc_id"), "component", "is_canonical")
