@@ -63,11 +63,17 @@ def ngram_shingles(
     gram = lambda i: F.concat_ws(  # noqa: E731
         " ", *[F.element_at("__toks", (i + k + 1).cast("int")) for k in range(n)]
     )
+    # A document with fewer than n tokens has NO shingles: guard the
+    # start-index sequence (sequence(0, -1) would count DOWN, producing
+    # out-of-range element_at indices) and let explode drop the row.
+    starts = F.when(
+        F.size("__toks") >= n, F.sequence(F.lit(0), F.size("__toks") - n)
+    ).otherwise(F.array().cast("array<int>"))
     shingles = toks.select(
         F.col(id_col),
         F.explode(
             F.transform(
-                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(-1))),
+                starts,
                 (lambda i: F.xxhash64(gram(i))) if hashed else gram,
             )
         ).alias("shingle"),
@@ -259,35 +265,22 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot_expanded(a: Column, b: Column, dim: int) -> Column:
-    """Dot product as an expanded left-associative sum of
-    ``element_at`` products.
+def dot_expr(a_name: str, b_name: str, dim: int) -> Column:
+    """Dot product as an expanded left-associative sum of products,
+    built as ONE SQL string parsed JVM-side.
 
-    Higher-order-function folds (``aggregate``/``zip_with``) allocate
-    lambda-variable frames per element; the expanded form is a flat
-    expression tree that codegen-capable operators compile. Note that
+    The expanded form (vs an ``aggregate``/``zip_with`` fold) is a flat
+    expression tree that codegen-capable operators compile without
+    per-element lambda-variable frames; building it as a single
+    ``F.expr`` (vs a Python Column loop) avoids ~4 Py4J round-trips per
+    term — hundreds of ms at dim=64, per call site. Bracket indexing is
+    0-based in Spark SQL, so ``a[i]`` equals ``element_at(a, i+1)``;
+    the left-associative sum order matches the sequential fold of
+    :func:`_dot` and the DuckDB oracle bit-for-bit. Note that
     pair-enumeration joins (BroadcastNestedLoopJoin / CartesianProduct)
     do NOT participate in whole-stage codegen at all — for dense O(n²)
     scoring use :func:`cosine_pairs_exact` (vectorized numpy over Arrow
-    batches) instead. Summation order is the sequential fold's, so
-    results are bit-identical to :func:`_dot` and the DuckDB oracle.
-    """
-    acc: Column = F.lit(0.0)
-    for i in range(1, dim + 1):
-        acc = acc + F.element_at(a, i) * F.element_at(b, i)
-    return acc
-
-
-def dot_expr(a_name: str, b_name: str, dim: int) -> Column:
-    """Same expanded dot product as :func:`dot_expanded`, built as ONE
-    SQL string parsed JVM-side.
-
-    Building a dim-term tree through the Python Column API costs ~4
-    Py4J round-trips per term (hundreds of ms at dim=64, per call
-    site); a single ``F.expr`` ships the whole expression in one call.
-    Bracket indexing is 0-based in Spark SQL, so ``a[i]`` here equals
-    ``element_at(a, i+1)`` — the left-associative sum order (hence
-    bitwise result) is identical to :func:`dot_expanded`.
+    batches) instead.
     """
     terms = " + ".join(f"{a_name}[{i}] * {b_name}[{i}]" for i in range(dim))
     return F.expr(f"({terms})") if dim else F.lit(0.0)

@@ -78,10 +78,12 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle="""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    WITH t AS (SELECT doc_id,
+                      list_filter(string_split(text, ' '), w -> w <> '') AS toks
+               FROM documents),
     sh AS (
       SELECT DISTINCT doc_id,
-             toks[u.g] || ' ' || toks[u.g+1] || ' ' || toks[u.g+2] AS shingle
+             array_to_string(toks[u.g:u.g+2], ' ') AS shingle
       FROM t, UNNEST(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(g)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
@@ -98,9 +100,12 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    # the shingle table feeds sizes + both self-join sides: cache it.
-    # hashed=True: the self-join shuffles 8-byte longs, not 3-word strings.
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, hashed=True).persist()
+    # hashed=True: the self-join shuffles 8-byte longs, not 3-word
+    # strings. No persist: the shingle table feeds sizes + both
+    # self-join sides, but all three references share one dedup
+    # exchange (ReusedExchange — measured identical to an explicit
+    # cache, without the never-unpersisted storage leak).
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, hashed=True)
     return similarity.jaccard_pairs(sh, "doc_id", min_intersection=2)
 
 
@@ -167,9 +172,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct=False: MinHash's MIN is duplicate-insensitive, so the
     # signature path needs NO shingle-set shuffle — the explode feeds a
     # map-side-combined groupBy whose shuffle is 16 longs per doc.
-    sh = similarity.ngram_shingles(
-        d, "doc_id", "text", n=3, distinct=False
-    ).persist()
+    # Deliberately NOT persisted: the frame is map-only to recompute
+    # (measured neutral-to-faster), and a persist here would never be
+    # unpersistable (the returned plan is lazy) — a storage leak for
+    # callers that compose this query (corpus_dedup_clusters_lsh).
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, distinct=False)
     # portable=True: md5-derived 60-bit hashes reproduce bit-for-bit in
     # DuckDB, upgrading this from a rows-only check to a full value-hash
     # oracle. The xxhash64 fast path stays available for production.
@@ -537,10 +544,12 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_connected_components",
     oracle="""
     WITH RECURSIVE
-    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    t AS (SELECT doc_id,
+                 list_filter(string_split(text, ' '), w -> w <> '') AS toks
+          FROM documents),
     sh AS (
       SELECT DISTINCT doc_id,
-             toks[u.g] || ' ' || toks[u.g+1] || ' ' || toks[u.g+2] AS shingle
+             array_to_string(toks[u.g:u.g+2], ' ') AS shingle
       FROM t, UNNEST(generate_series(1, GREATEST(len(toks) - 2, 0))) AS u(g)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (

@@ -207,3 +207,28 @@ def test_format_roundtrips(spark, tmp_path):
         write_table(orig, path, fmt)
         back = read_table(spark, path, fmt, schema=orig.schema)
         assert sorted(tuple(r) for r in back.collect()) == baseline, fmt
+
+
+def test_ngram_shingles_short_documents(spark):
+    # docs shorter than n tokens must yield zero shingles, not crash
+    # (sequence(0, size-n) with size<n counts DOWN -> element_at OOB)
+    from ska_src_maltopuft_etl_spark.operators.similarity import (
+        jaccard_pairs,
+        ngram_shingles,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "only two"), (4, "now three tokens"),
+         (5, "now three tokens")],
+        ["doc_id", "text"],
+    )
+    for hashed in (False, True):
+        sh = ngram_shingles(d, "doc_id", "text", n=3, hashed=hashed)
+        got = {r["doc_id"] for r in sh.select("doc_id").distinct().collect()}
+        assert got == {4, 5}
+    pairs = jaccard_pairs(
+        ngram_shingles(d, "doc_id", "text", n=3, hashed=True),
+        "doc_id",
+        min_intersection=1,
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(4, 5, 1.0)]
