@@ -759,3 +759,135 @@ def corpus_dedup_clusters_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.dedup_clusters(
         edges, src="doc_a", dst="doc_b", nodes=d.select("doc_id")
     ).select(F.col("node").alias("doc_id"), "component", "is_canonical")
+
+
+@register(
+    "split_train_val_test",
+    oracle="""
+    WITH h AS (
+      SELECT lang, n_chars,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM documents)
+    SELECT CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split,
+           lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM h GROUP BY 1, 2
+    """,
+    covers=("P4", "P7", "A2"),
+    description="deterministic train/val/test assignment by portable content-id hash (map-only; no RNG, stable across engines, cluster sizes, and re-runs)",
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset splitting the 100 TB-safe way: a pure function of the
+    row key (md5-derived bucket), so membership never depends on
+    partitioning, sampling seed plumbing, or row order — re-runs and
+    backfills land every doc in the same split. Map-only + one
+    hash-agg."""
+    d = _docs(spark, sf_dir)
+    bucket = similarity.md5_hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "stratified_sample_per_lang",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, lang,
+             CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                  AS BIGINT) AS hkey
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rnk
+      FROM h)
+    SELECT lang, doc_id, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+    covers=("W1", "W6", "A2"),
+    description="stratified deterministic sample: first-k per group in portable-hash order (equal-size per-stratum draws without RNG)",
+)
+def stratified_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum fixed-size sampling via hash-order row_number — the
+    windowed shuffle is keyed on the stratum, so strata sample in
+    parallel and skewed strata split via AQE."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    hkey = similarity.md5_hash60(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(hkey.asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 20)
+        .select("lang", "doc_id", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+@register(
+    "token_budget_pack",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), w -> w IN ('the', 'a'))) AS n_stop
+      FROM documents),
+    q AS (
+      SELECT doc_id, lang, n_tokens,
+             ROUND(0.5 * (n_stop / CAST(n_tokens AS DOUBLE))
+                   + 0.5 * LEAST(n_tokens / 100.0, 1.0), 4) AS quality
+      FROM t WHERE n_tokens > 0),
+    packed AS (
+      SELECT doc_id, lang, n_tokens, quality,
+             SUM(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY quality DESC, doc_id ASC
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM q)
+    SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, quality,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM packed WHERE cum_tokens <= 5000
+    """,
+    covers=("W4", "W6", "P7"),
+    description="token-budget packing: per-language quality-ordered prefix under a token budget (the data-mixing step of a pretraining pipeline)",
+)
+def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy best-first packing as a windowed prefix sum: order each
+    language's docs by quality, keep the prefix whose cumulative token
+    count fits the budget. One keyed window shuffle; no driver loop."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    scored = d.select(
+        "doc_id",
+        "lang",
+        text.token_count_ws("text").alias("n_tokens"),
+        text.quality_score("text").alias("quality"),
+    ).where(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 5000)
+        .select(
+            "lang",
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "quality",
+            F.col("cum_tokens").cast("long").alias("cum_tokens"),
+        )
+    )
