@@ -232,3 +232,28 @@ def test_ngram_shingles_short_documents(spark):
         min_intersection=1,
     ).collect()
     assert [(p["doc_a"], p["doc_b"], p["jaccard"]) for p in pairs] == [(4, 5, 1.0)]
+
+
+def test_hash_split_partition_invariant(spark):
+    # split membership must be a pure function of the key: identical
+    # assignment regardless of partitioning or row order
+    from pyspark.sql import functions as F
+
+    from ska_src_maltopuft_etl_spark.operators.similarity import md5_hash60
+
+    def assign(df):
+        bucket = md5_hash60(F.col("id").cast("string")) % 100
+        split = (
+            F.when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+        )
+        return {r["id"]: r["s"] for r in df.select("id", split.alias("s")).collect()}
+
+    base = spark.range(0, 500)
+    a = assign(base)
+    b = assign(base.repartition(17).orderBy(F.col("id").desc()))
+    assert a == b
+    # rough proportions hold (not exact — hash buckets)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert c["train"] > 400 and c["val"] + c["test"] > 20
