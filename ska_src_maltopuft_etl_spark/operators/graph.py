@@ -80,13 +80,29 @@ def connected_components(
     und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     und = und.localCheckpoint(eager=False)
 
-    labels = und.select(F.col("a").alias("node")).distinct()
-    if nodes is not None:
+    # Propagate over V(edges) ONLY: isolated nodes are trivially their
+    # own component and must not ride through every round — at corpus
+    # scale the node set is the whole dataset while the near-dup edge
+    # graph is orders of magnitude smaller. Singletons union in at the
+    # end (see below).
+    labels = (
+        und.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint()
+    )
+
+    def with_isolates(converged: DataFrame) -> DataFrame:
+        if nodes is None:
+            return converged
         n_col = nodes.columns[0]
-        labels = labels.union(
+        isolates = (
             nodes.select(F.col(n_col).alias("node"))
-        ).distinct()
-    labels = labels.withColumn("component", F.col("node")).localCheckpoint()
+            .distinct()
+            .join(converged.select("node"), "node", "left_anti")
+            .withColumn("component", F.col("node"))
+        )
+        return converged.union(isolates)
 
     for _round in range(max_iter):
         # each node also keeps its own current label (the union below),
@@ -109,7 +125,7 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
-            return labels
+            return with_isolates(labels)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "graph diameter too large for label propagation — use "
