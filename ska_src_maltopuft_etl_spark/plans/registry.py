@@ -68,6 +68,9 @@ from ska_src_maltopuft_etl_spark.plans import llmops  # noqa: E402,F401
 # whenever the registry does: len(QUERIES) - len(_TAIL) must stay <= 50
 # (asserted below) or later registrations silently fall out the window.
 _TAIL = [
+    "q02_cheapest_supplier",
+    "cube_event_counts",
+    "time_range_moving_stats",
     "join_semi_shipped_parts",
     "explode_word_counts",
     "regex_extract_props",

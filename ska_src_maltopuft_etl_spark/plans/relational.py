@@ -1308,3 +1308,107 @@ def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue")
     )
+
+
+@register(
+    "q02_cheapest_supplier",
+    oracle="""
+    WITH costs AS (
+      SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY 1, 2),
+    best AS (SELECT partkey, MIN(unit_cost) AS min_cost FROM costs GROUP BY 1)
+    SELECT c.partkey, c.suppkey,
+           CAST(FLOOR(c.unit_cost * 10000) AS BIGINT) AS unit_cost_e4
+    FROM costs c JOIN best b
+      ON c.partkey = b.partkey AND c.unit_cost = b.min_cost
+    """,
+    covers=("J1", "A2", "W1"),
+    description="TPC-H Q2 pattern: correlated MIN subquery decorrelated to agg + self-join (adapted: unit cost from lineitem stands in for partsupp supplycost)",
+)
+def q02_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The correlated-scalar-subquery shape: Catalyst decorrelates it to
+    an aggregate + equi-join; the join key on the exact (un-rounded)
+    double is safe because both sides derive from identical arithmetic."""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy(
+        F.col("l_partkey").alias("partkey"), F.col("l_suppkey").alias("suppkey")
+    ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    best = (
+        costs.select(F.col("partkey").alias("__bk"), "unit_cost")
+        .groupBy("__bk")
+        .agg(F.min("unit_cost").alias("__min_cost"))
+    )
+    return (
+        costs.join(
+            best,
+            (F.col("partkey") == F.col("__bk"))
+            & (F.col("unit_cost") == F.col("__min_cost")),
+        )
+        .select(
+            "partkey",
+            "suppkey",
+            # floor-scaling (not ROUND) for the display column: Spark's
+            # HALF_UP and DuckDB's float round disagree at half
+            # boundaries, while floor of the identical double is exact
+            F.floor(F.col("unit_cost") * 10000).cast("long").alias("unit_cost_e4"),
+        )
+    )
+
+
+@register(
+    "cube_event_counts",
+    oracle="""
+    SELECT event_type,
+           CAST(strftime(CAST(ts AS DATE), '%Y-%m-%d') AS VARCHAR) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY CUBE(event_type, CAST(ts AS DATE))
+    """,
+    covers=("A2", "P7"),
+    description="CUBE grouping sets over (event_type, day): all four grouping combinations in one pass (extension beyond the reference's agg surface)",
+)
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type", F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"), "value"
+        )
+        .cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+
+
+@register(
+    "time_range_moving_stats",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_events_1h,
+           ROUND(SUM(value) OVER w, 4) AS sum_value_1h
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+    """,
+    covers=("W4", "W6", "P5"),
+    description="time-based RANGE window frame: per-user trailing-1h event count and value sum (value-based frame, not row-based)",
+)
+def time_range_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames bound by VALUE distance (here: time) — the frame is
+    a set, so peers tie consistently in any engine; expressed over
+    epoch micros to keep the boundary arithmetic exact."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
+    )
