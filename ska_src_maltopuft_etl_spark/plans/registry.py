@@ -87,6 +87,7 @@ _TAIL = [
     "surrogate_key_dense",
     "rollup_revenue",
     "percentile_stats",
+    "incremental_agg_events",
     "knn_cosine_ivf",
 ]
 assert len(QUERIES) - len([k for k in _TAIL if k in QUERIES]) <= 50, (

@@ -1412,3 +1412,52 @@ def time_range_moving_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_events_1h"),
         F.round(F.sum("value").over(w), 4).alias("sum_value_1h"),
     )
+
+
+@register(
+    "incremental_agg_events",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(value), 2) AS value_sum,
+           ROUND(SUM(value) / COUNT(value), 4) AS value_mean,
+           ROUND(SUM(value * value) / COUNT(value)
+                 - (SUM(value) / COUNT(value)) * (SUM(value) / COUNT(value)),
+                 4) AS value_var,
+           MIN(value) AS value_min,
+           MAX(value) AS value_max
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=("A2", "A3", "A4", "K3"),
+    description=(
+        "incremental aggregate maintenance: per-type stats computed by "
+        "splitting events into two batches, building mergeable state per "
+        "batch, merging states, and finalizing — oracle recomputes from "
+        "the full table, proving state-merge == full recompute"
+    ),
+)
+def incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two disjoint batches (event_id parity) → per-batch mergeable
+    state → merged state → finalized stats. The driver's oracle
+    aggregates the union directly; hash-match proves the monoid
+    decomposition (operators/incremental_agg.py) is exact."""
+    from ska_src_maltopuft_etl_spark.operators import incremental_agg as ia
+
+    ev = _t(spark, sf_dir, "events")
+    batch_a = ev.where(F.col("event_id") % 2 == 0)
+    batch_b = ev.where(F.col("event_id") % 2 == 1)
+    st_a = ia.aggregate_state(batch_a, ["event_type"], "value")
+    st_b = ia.aggregate_state(batch_b, ["event_type"], "value")
+    merged = ia.merge_states(st_a, st_b, ["event_type"])
+    out = ia.finalize(merged, ["event_type"])
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.round("value_sum", 2).alias("value_sum"),
+        F.round("value_mean", 4).alias("value_mean"),
+        F.round("value_var", 4).alias("value_var"),
+        F.col("value_min"),
+        F.col("value_max"),
+    ).orderBy("event_type")

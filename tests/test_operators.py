@@ -191,3 +191,38 @@ def test_topk_per_group_matches_plain_window(spark):
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert got.count() == 4 * 7
+
+
+def test_incremental_agg_matches_full_recompute(spark):
+    """finalize(merge(state(A), state(B), state(C))) == finalize(state(A∪B∪C))
+    for any merge tree (the monoid invariant)."""
+    from ska_src_maltopuft_etl_spark.operators import incremental_agg as ia
+
+    rows = [
+        ("a", float(v)) for v in [1, 2, 3, 4, 5]
+    ] + [("b", 10.5), ("b", -2.25), ("c", 0.0), ("c", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    batches = [
+        df.where(F.crc32(F.concat_ws("|", "g", "v")) % 3 == i)
+        for i in range(3)
+    ]
+    states = [ia.aggregate_state(b, ["g"], "v") for b in batches]
+    merged = ia.merge_states(
+        ia.merge_states(states[0], states[1], ["g"]), states[2], ["g"]
+    )
+    got = {
+        r["g"]: r.asDict()
+        for r in ia.finalize(merged, ["g"]).collect()
+    }
+    want = {
+        r["g"]: r.asDict()
+        for r in ia.finalize(ia.aggregate_state(df, ["g"], "v"), ["g"]).collect()
+    }
+    assert set(got) == {"a", "b", "c"}
+    for g in got:
+        for k in got[g]:
+            if isinstance(got[g][k], float) and want[g][k] is not None:
+                assert got[g][k] == pytest.approx(want[g][k], abs=1e-9)
+            else:
+                assert got[g][k] == want[g][k]
+    assert got["c"]["n_rows"] == 2 and got["c"]["value_mean"] == 0.0
