@@ -257,3 +257,56 @@ def test_hash_split_partition_invariant(spark):
 
     c = Counter(a.values())
     assert c["train"] > 400 and c["val"] + c["test"] > 20
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from ska_src_maltopuft_etl_spark.sinks.compaction import compact_parquet
+
+    path = str(tmp_path / "many")
+    # 40 tiny files
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(
+        40
+    ).write.parquet(path)
+    files_before = [p for p in (tmp_path / "many").glob("part-*")]
+    assert len(files_before) == 40
+    n = compact_parquet(spark, path, target_file_mb=1024)
+    assert n == 1
+    files_after = [p for p in (tmp_path / "many").glob("part-*")]
+    assert len(files_after) == 1
+    got = spark.read.parquet(path)
+    assert got.count() == 4000
+    assert got.agg(F.sum("v")).collect()[0][0] == sum(2 * i for i in range(4000))
+    assert not (tmp_path / "many._compacting").exists()
+    assert not (tmp_path / "many._pre_compact").exists()
+
+
+def test_cluster_parquet_nonoverlapping_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ska_src_maltopuft_etl_spark.sinks.compaction import cluster_parquet
+
+    path = str(tmp_path / "clust")
+    # shuffle ids so the input files have overlapping id ranges
+    spark.range(0, 20000).withColumn(
+        "shuf", F.xxhash64("id")
+    ).orderBy("shuf").drop("shuf").repartition(8).write.parquet(path)
+    # force >1 output file via a tiny target size
+    n = cluster_parquet(spark, path, ["id"], target_file_mb=0.02)
+    files = sorted((tmp_path / "clust").glob("part-*.parquet"))
+    assert len(files) >= 2 and len(files) == n
+    ranges = []
+    for f in files:
+        md = pq.read_metadata(str(f))
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, _hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, "file key ranges overlap — clustering broken"
+    total = sum(
+        pq.read_metadata(str(f)).num_rows for f in files
+    )
+    assert total == 20000
