@@ -46,6 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed the
             # double-exact range, so float division is off by ±1 µs.
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # Naive parquet timestamps (TIMESTAMP(MICROS, isAdjustedToUTC=false))
+    # scan as TIMESTAMP_NTZ; normalize to session-TZ TimestampType (UTC
+    # session, so wall-clock is preserved) so downstream kernels like
+    # unix_micros/mjd work uniformly regardless of how the data was written.
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 
