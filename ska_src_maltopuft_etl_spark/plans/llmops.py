@@ -891,3 +891,61 @@ def token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("long").alias("cum_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch-accelerated exact operators (operators/sketches.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "heavy_hitter_customers",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= (SELECT COUNT(*) FROM orders) * CAST(0.0012 AS DOUBLE)
+    """,
+    covers=("A2", "P5"),
+    description=(
+        "exact heavy hitters via Misra-Gries candidate sketch + "
+        "candidate-restricted exact verify: customers placing >=0.12% of "
+        "all orders; sketch is one bounded-memory pass, output is exact "
+        "(the oracle is the naive full GROUP BY)"
+    ),
+)
+def heavy_hitter_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB the oracle's plan (full groupBy on a high-cardinality
+    key) shuffles every distinct key; the sketch path shuffles only
+    rows matching <= 1/threshold candidates. Hash-match proves the
+    candidate pass lost nothing."""
+    from ska_src_maltopuft_etl_spark.operators import sketches
+
+    o = load_table(spark, sf_dir, "orders")
+    return sketches.heavy_hitters(o, "o_custkey", 0.0012)
+
+
+@register(
+    "weighted_sample_docs",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(FLOOR(ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                               AS BIGINT) + 0.5) / 1152921504606846976.0)
+                      / n_chars * 1000000000.0) AS BIGINT) AS sample_key_e9
+    FROM documents
+    ORDER BY ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 0.5) / 1152921504606846976.0) / n_chars DESC,
+             doc_id
+    LIMIT 50
+    """,
+    covers=("W1", "W6", "P5"),
+    description=(
+        "deterministic weighted sampling (Efraimidis-Spirakis A-ES) with "
+        "md5-derived uniforms: 50 docs sampled proportional to n_chars, "
+        "reproducible across runs/partitionings/engines without RNG state"
+    ),
+)
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ska_src_maltopuft_etl_spark.operators import sketches
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    return sketches.weighted_sample_topk(d, "doc_id", "n_chars", 50)
