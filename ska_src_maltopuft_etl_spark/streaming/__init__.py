@@ -1,3 +1,7 @@
+from ska_src_maltopuft_etl_spark.streaming.aggregates import (
+    maintain_aggregate_state,
+    read_finalized,
+)
 from ska_src_maltopuft_etl_spark.streaming.candidates import (
     resolve_beams_stream,
     stream_spccl,
@@ -9,6 +13,8 @@ from ska_src_maltopuft_etl_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "maintain_aggregate_state",
+    "read_finalized",
     "resolve_beams_stream",
     "sessionize_events",
     "stream_run_summaries",

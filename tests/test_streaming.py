@@ -122,3 +122,64 @@ def test_streaming_candidate_beam_resolution(spark, tmp_path):
     assert len(collected) == 2
     by_dm = {round(r["cand_dm"], 1): r["beam_id"] for r in collected}
     assert by_dm == {1.5: 101, 2.5: 102}
+
+
+def test_streaming_aggregate_state_maintenance(spark, tmp_path):
+    """Stream batches fold into parquet state; finalize == full recompute,
+    and a restarted stream merges only new files."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.operators import incremental_agg as ia
+    from ska_src_maltopuft_etl_spark.streaming import (
+        maintain_aggregate_state,
+        read_finalized,
+    )
+
+    data = tmp_path / "agg_stream"
+    data.mkdir()
+    rows_a = [
+        {"k": "x", "v": 1.0}, {"k": "x", "v": 3.0}, {"k": "y", "v": 10.0},
+    ]
+    rows_b = [{"k": "x", "v": 5.0}, {"k": "y", "v": None}]
+    (data / "a.json").write_text("\n".join(_json.dumps(r) for r in rows_a))
+    (data / "b.json").write_text("\n".join(_json.dumps(r) for r in rows_b))
+
+    schema = "k string, v double"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    def start():
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .json(str(data))
+        )
+        return maintain_aggregate_state(stream, ["k"], "v", state, ckpt)
+
+    q = start()
+    q.awaitTermination(120)
+
+    got = {
+        r["k"]: (r["n_rows"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in read_finalized(spark, state, ["k"]).collect()
+    }
+    full = {
+        r["k"]: (r["n_rows"], r["value_sum"], r["value_min"], r["value_max"])
+        for r in ia.finalize(
+            ia.aggregate_state(spark.read.schema(schema).json(str(data)), ["k"], "v"),
+            ["k"],
+        ).collect()
+    }
+    assert got == full
+    assert got["x"] == (3, 9.0, 1.0, 5.0)
+    assert got["y"][0] == 2  # null row counted in n_rows
+
+    # restart with one new file: only the delta is merged (same ckpt)
+    (data / "c.json").write_text(_json.dumps({"k": "z", "v": 7.0}))
+    q2 = start()
+    q2.awaitTermination(120)
+    got2 = {
+        r["k"]: r["n_rows"]
+        for r in read_finalized(spark, state, ["k"]).collect()
+    }
+    assert got2 == {"x": 3, "y": 2, "z": 1}
