@@ -1461,3 +1461,73 @@ def incremental_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value_min"),
         F.col("value_max"),
     ).orderBy("event_type")
+
+
+@register(
+    "scd2_customer_segments",
+    oracle="""
+    WITH cur AS (SELECT c_custkey AS k, c_mktsegment AS seg FROM customer),
+    batch AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_acctbal > 5000 THEN 'PREMIUM' ELSE c_mktsegment END AS seg
+      FROM customer
+      UNION ALL
+      SELECT c_custkey + 100000, 'NEW' FROM customer WHERE c_custkey < 5
+    ),
+    t1 AS (SELECT epoch_us(TIMESTAMP '1995-01-01 00:00:00') AS us),
+    t2 AS (SELECT epoch_us(TIMESTAMP '1997-01-01 00:00:00') AS us)
+    SELECT cur.k, cur.seg,
+           (SELECT us FROM t1) AS valid_from_us,
+           CAST(NULL AS BIGINT) AS valid_to_us
+    FROM cur JOIN batch ON cur.k = batch.k AND cur.seg = batch.seg
+    UNION ALL
+    SELECT cur.k, cur.seg, (SELECT us FROM t1), (SELECT us FROM t2)
+    FROM cur JOIN batch ON cur.k = batch.k AND cur.seg <> batch.seg
+    UNION ALL
+    SELECT batch.k, batch.seg, (SELECT us FROM t2), CAST(NULL AS BIGINT)
+    FROM batch JOIN cur ON cur.k = batch.k AND cur.seg <> batch.seg
+    UNION ALL
+    SELECT batch.k, batch.seg, (SELECT us FROM t2), CAST(NULL AS BIGINT)
+    FROM batch ANTI JOIN cur ON cur.k = batch.k
+    """,
+    covers=("K2", "J4", "W1"),
+    description=(
+        "type-2 SCD maintenance (sinks/scd2.py): fold a segment-change "
+        "batch into a versioned customer dimension — changed keys close "
+        "the current version and open a new one, history is append-only; "
+        "the oracle rebuilds the same dimension with explicit joins"
+    ),
+)
+def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full-outer join on the natural key; changed keys fan out to
+    (closed, new) via an exploded struct array — no window, no second
+    shuffle. At 100 TB the dimension and batch co-partition on the key."""
+    from ska_src_maltopuft_etl_spark.sinks.scd2 import scd2_apply
+
+    t1 = F.lit("1995-01-01 00:00:00").cast("timestamp")
+    c = _t(spark, sf_dir, "customer")
+    existing = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        t1.alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    batch = c.select(
+        F.col("c_custkey").alias("k"),
+        F.when(F.col("c_acctbal") > 5000, "PREMIUM")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+    ).unionByName(
+        c.where(F.col("c_custkey") < 5).select(
+            (F.col("c_custkey") + 100000).alias("k"), F.lit("NEW").alias("seg")
+        )
+    )
+    dim = scd2_apply(
+        existing, batch, ["k"], ["seg"], "1997-01-01 00:00:00"
+    )
+    return dim.select(
+        "k",
+        "seg",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+    )
