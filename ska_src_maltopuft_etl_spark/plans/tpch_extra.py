@@ -563,9 +563,13 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXISTS(other supplier) == per-order distinct-supplier count >= 2;
     NOT EXISTS(other LATE supplier) == per-order distinct LATE supplier
-    count == 1 (l1 itself is late). One aggregate over the joined fact
-    replaces both correlated subqueries — a single extra shuffle on
-    l_orderkey instead of two per-row probes."""
+    count == 1 (l1 itself is late). A whole-partition window frame on
+    l_orderkey computes both distinct counts alongside the rows in ONE
+    shuffle — the aggregate+join-back decorrelation would shuffle
+    twice. Per-order supplier sets are tiny (a handful of lines), so
+    collect_set stays cheap and skew-safe at scale."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
     s = _t(spark, sf_dir, "supplier")
@@ -573,19 +577,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_0", "NATION_1", "NATION_2")
     )
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 120 DAYS")
-    j = li.join(o, li["l_orderkey"] == o["o_orderkey"]).withColumn(
-        "__late", late
-    )
-    per_order = j.groupBy(F.col("l_orderkey").alias("__ok")).agg(
-        F.count_distinct("l_suppkey").alias("__nsupp"),
-        F.count_distinct(
-            F.when(F.col("__late"), F.col("l_suppkey"))
-        ).alias("__nlate"),
-    )
+    w = Window.partitionBy("l_orderkey")
     waiting = (
-        j.where(F.col("__late"))
-        .join(per_order, F.col("l_orderkey") == F.col("__ok"))
-        .where((F.col("__nsupp") >= 2) & (F.col("__nlate") == 1))
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .withColumn("__late", late)
+        .withColumn("__nsupp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "__nlate",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("__late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .where(F.col("__late") & (F.col("__nsupp") >= 2) & (F.col("__nlate") == 1))
     )
     return (
         waiting.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
