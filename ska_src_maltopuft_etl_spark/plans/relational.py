@@ -1531,3 +1531,37 @@ def scd2_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("valid_from").alias("valid_from_us"),
         F.unix_micros("valid_to").alias("valid_to_us"),
     )
+
+
+@register(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    covers=("R3", "R4", "A2"),
+    description=(
+        "semi-structured VariantType path (Spark 4): parse_json -> "
+        "variant_get typed extraction -> aggregation; the open-schema "
+        "dual of the typed from_json_unnest query (no schema declared "
+        "at parse time)"
+    ),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType keeps the parsed tree in a compact binary form, so
+    repeated path extractions avoid re-tokenizing the JSON text and
+    unknown fields survive — the right default for evolving telemetry
+    schemas at scale (vs from_json's fixed StructType)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
