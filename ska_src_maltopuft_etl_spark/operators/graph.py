@@ -106,24 +106,31 @@ def connected_components(
 
     for _round in range(max_iter):
         # each node also keeps its own current label (the union below),
-        # so labels are monotonically non-increasing → convergence
+        # so labels are monotonically non-increasing → convergence.
+        # The node's previous label rides through the aggregate as
+        # ``__old`` (exactly one non-null per node), so the convergence
+        # check is a scan of the checkpointed result — no join, one
+        # shuffle per round total.
+        comp_type = labels.schema["component"].dataType
         nbr = und.join(
             labels.withColumnRenamed("node", "a"), "a"
-        ).select(F.col("b").alias("node"), "component")
-        new_labels = (
-            labels.union(nbr)
+        ).select(
+            F.col("b").alias("node"),
+            "component",
+            F.lit(None).cast(comp_type).alias("__old"),
+        )
+        own = labels.select("node", "component", F.col("component").alias("__old"))
+        merged = (
+            own.union(nbr)
             .groupBy("node")
-            .agg(F.min("component").alias("component"))
+            .agg(
+                F.min("component").alias("component"),
+                F.max("__old").alias("__old"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.join(
-                labels.withColumnRenamed("component", "__old"), "node"
-            )
-            .where(F.col("component") != F.col("__old"))
-            .count()
-        )
-        labels = new_labels
+        changed = merged.where(F.col("component") != F.col("__old")).count()
+        labels = merged.select("node", "component")
         if changed == 0:
             return with_isolates(labels)
     raise RuntimeError(
