@@ -1565,3 +1565,44 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+@register(
+    "bloom_pruned_semi_join",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN
+          (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+    GROUP BY l_returnflag
+    """,
+    covers=("J1", "P5", "A2"),
+    description=(
+        "bloom-pruned exact semi join (operators/bloom.py): lineitem "
+        "rows of high-value orders — a broadcast hex-bitmap literal "
+        "discards non-matching fact rows in whole-stage codegen before "
+        "the join's exchange; false positives are removed by the real "
+        "semi join, so the result is exact (oracle: plain IN-subquery)"
+    ),
+)
+def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pattern pays when the dim key set fits a bloom but not a
+    broadcast hash table: the fact-side shuffle shrinks to matches plus
+    the false-positive margin, before any exchange."""
+    from ska_src_maltopuft_etl_spark.operators import bloom
+
+    li = _t(spark, sf_dir, "lineitem")
+    big_orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 400000
+    )
+    matched = bloom.bloom_semi_join(
+        li, big_orders, "l_orderkey", "o_orderkey"
+    )
+    return matched.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
