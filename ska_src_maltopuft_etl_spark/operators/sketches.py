@@ -24,7 +24,12 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["heavy_hitters", "weighted_sample_topk", "HASH60_DENOM"]
+__all__ = [
+    "heavy_hitters",
+    "weighted_sample_topk",
+    "weighted_sample_per_group",
+    "HASH60_DENOM",
+]
 
 #: 2^60 — denominator turning a 60-bit md5-derived hash into a uniform
 #: deviate in [0, 1). Kept as an exact integer-valued double so the
@@ -150,4 +155,32 @@ def weighted_sample_topk(
             F.floor(F.col("__skey") * F.lit(1_000_000_000.0)).cast("long"),
         )
         .drop("__skey")
+    )
+
+
+def weighted_sample_per_group(
+    df: DataFrame, group: str, key: str, weight: str, k: int
+) -> DataFrame:
+    """A-ES weighted sample of size ``k`` WITHIN each group — one keyed
+    window shuffle instead of the global top-k merge, same determinism
+    guarantees as :func:`weighted_sample_topk`.
+
+    The per-group variant is the data-mixing primitive: "sample N docs
+    per language proportional to quality" is exactly this call."""
+    from pyspark.sql import Window
+
+    u = hash_uniform(F.col(key).cast("string"))
+    skey = F.log(u) / F.col(weight)
+    w = Window.partitionBy(group).orderBy(
+        F.col("__skey").desc(), F.col(key)
+    )
+    return (
+        df.withColumn("__skey", skey)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") <= k)
+        .withColumn(
+            "sample_key_e9",
+            F.floor(F.col("__skey") * F.lit(1_000_000_000.0)).cast("long"),
+        )
+        .drop("__skey", "__rank")
     )

@@ -949,3 +949,34 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
     return sketches.weighted_sample_topk(d, "doc_id", "n_chars", 50)
+
+
+@register(
+    "weighted_sample_per_lang",
+    oracle="""
+    SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(FLOOR(skey * 1000000000.0) AS BIGINT) AS sample_key_e9
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) + 0.5) / 1152921504606846976.0) / n_chars AS skey,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ln((CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                                 AS BIGINT) + 0.5) / 1152921504606846976.0) / n_chars DESC,
+                        doc_id) AS rnk
+      FROM documents)
+    WHERE rnk <= 20
+    """,
+    covers=("W1", "W5", "P5"),
+    description=(
+        "per-group A-ES weighted sampling: 20 docs per language "
+        "proportional to n_chars, one keyed window shuffle; the "
+        "data-mixing primitive (deterministic, RNG-free)"
+    ),
+)
+def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ska_src_maltopuft_etl_spark.operators import sketches
+
+    d = _docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
+    return sketches.weighted_sample_per_group(d, "lang", "doc_id", "n_chars", 20)

@@ -93,3 +93,68 @@ def test_scd2_asof_retrieval(spark):
     got = {r["attr"] for r in resolved.collect()}
     assert got == {"v1", "v2"}
     assert resolved.count() == 2
+
+
+# --- property-based: arbitrary batch sequences vs a Python model -----------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# keys from a tiny alphabet (forces change/unchanged/new collisions);
+# attrs from 3 values + None (exercises null-safe compare)
+batch_strategy = st.lists(
+    st.tuples(st.integers(0, 4), st.sampled_from(["a", "b", "c", None])),
+    min_size=0,
+    max_size=6,
+    unique_by=lambda t: t[0],
+)
+
+
+def _model_apply(dim: dict, history: list, batch, ts):
+    """Python reference model: dim maps key -> (attr, valid_from)."""
+    for k, attr in batch:
+        if k not in dim:
+            dim[k] = (attr, ts)
+        elif dim[k][0] != attr:
+            old_attr, old_from = dim[k]
+            history.append((k, old_attr, old_from, ts))
+            dim[k] = (attr, ts)
+    return dim, history
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=st.lists(batch_strategy, min_size=1, max_size=4))
+def test_scd2_matches_python_model(spark, batches):
+    dim_df = _dim(spark, [])
+    dim_model: dict = {}
+    hist_model: list = []
+    for i, batch in enumerate(batches):
+        ts = T0 + dt.timedelta(days=i)
+        bdf = spark.createDataFrame(
+            [(k, a) for k, a in batch] or [(None, None)],
+            "k long, attr string",
+        )
+        if not batch:
+            continue
+        dim_df = scd2_apply(dim_df, bdf, ["k"], ["attr"], ts)
+        dim_model, hist_model = _model_apply(dim_model, hist_model, batch, ts)
+
+    def skey(t):
+        return (t[0], t[1] or "", t[2], t[3] or dt.datetime.max)
+
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_from"], r["valid_to"])
+            for r in dim_df.collect()
+        ),
+        key=skey,
+    )
+    want = sorted(
+        [(k, a, vf, None) for k, (a, vf) in dim_model.items()] + hist_model,
+        key=skey,
+    )
+    assert got == want
