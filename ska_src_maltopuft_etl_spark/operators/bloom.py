@@ -83,10 +83,7 @@ def bloom_might_contain(
     cond = None
     for pos in _positions(key, m_bits, k):
         word = F.element_at(arr, (pos / 32).cast("int") + 1)
-        bit = (pos % 32).cast("int")
-        # word >> bit via exact power-of-two division (word < 2^32)
-        shifted = F.floor(word / F.pow(F.lit(2.0), bit)).cast("long")
-        hit = shifted.bitwiseAND(F.lit(1)) == 1
+        hit = F.bit_get(word, (pos % 32).cast("int")) == 1
         cond = hit if cond is None else (cond & hit)
     return cond
 
