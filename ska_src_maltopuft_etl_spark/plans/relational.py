@@ -1606,3 +1606,90 @@ def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
         ).alias("revenue"),
     )
+
+
+@register(
+    "approx_distinct_accuracy",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS hll_within_5pct
+    FROM events
+    GROUP BY event_type
+    """,
+    covers=("A2", "A4"),
+    description=(
+        "HyperLogLog++ distinct counting with a verifiable bound: the "
+        "Spark side computes BOTH approx_count_distinct (rsd=2%) and the "
+        "exact count, emitting whether the estimate landed within 5% — "
+        "the oracle emits the exact count and TRUE, so the hash match "
+        "PROVES the sketch met its tolerance on this data"
+    ),
+)
+def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At 100 TB approx_count_distinct is the only sane default for
+    high-cardinality distincts (fixed-size sketch, one pass, mergeable
+    across partitions); this query keeps it honest against the exact
+    answer at test scale."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("__est"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("__est") - F.col("exact_users"))
+                <= F.col("exact_users") * 0.05
+            ).alias("hll_within_5pct"),
+        )
+    )
+
+
+@register(
+    "approx_quantile_accuracy",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 2) AS p25_exact,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 2) AS p75_exact,
+           TRUE AS sketch_within_rank_tol
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    covers=("A2", "A3"),
+    description=(
+        "Greenwald-Khanna quantile sketch with a verifiable rank bound: "
+        "percentile_approx(accuracy=1000) estimates must land between "
+        "the exact p-2% and p+2% quantiles; oracle emits exact quantiles "
+        "+ TRUE, so the hash match proves the rank-error contract"
+    ),
+)
+def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx's GK sketch guarantees rank error <= n/accuracy;
+    the check brackets each estimate between exact quantiles +-2% of
+    rank — the form of the guarantee itself."""
+    li = _t(spark, sf_dir, "lineitem")
+    exact = F.expr(
+        "percentile(l_extendedprice, array(0.23, 0.25, 0.27, 0.73, 0.75, 0.77))"
+    )
+    approx = F.expr(
+        "percentile_approx(l_extendedprice, array(0.25, 0.75), 1000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(exact.alias("__ex"), approx.alias("__ap"))
+        .select(
+            "l_returnflag",
+            F.round(F.col("__ex")[1], 2).alias("p25_exact"),
+            F.round(F.col("__ex")[4], 2).alias("p75_exact"),
+            (
+                (F.col("__ap")[0] >= F.col("__ex")[0])
+                & (F.col("__ap")[0] <= F.col("__ex")[2])
+                & (F.col("__ap")[1] >= F.col("__ex")[3])
+                & (F.col("__ap")[1] <= F.col("__ex")[5])
+            ).alias("sketch_within_rank_tol"),
+        )
+    )
