@@ -64,8 +64,10 @@ from ska_src_maltopuft_etl_spark.plans import tpch_extra  # noqa: E402,F401
 # information: every operator-family ID and all LLM-data-pipeline
 # queries in the window; the tail holds only entries whose every
 # `covers` ID is also verified by an in-window query (redundant TPC-H
-# variants, the q01 SQL-frontend twin, extension aggregates) and the
-# one rows-only approximate query (IVF), last. The tail list must grow
+# variants, the q01 SQL-frontend twin, extension aggregates), last.
+# Every query (including the approximate ones) is oracle-checked —
+# sketch queries emit exact values plus an in-tolerance boolean the
+# oracle pins to TRUE. The tail list must grow
 # whenever the registry does: len(QUERIES) - len(_TAIL) must stay <= 50
 # (asserted below) or later registrations silently fall out the window.
 _TAIL = [
