@@ -71,6 +71,8 @@ from ska_src_maltopuft_etl_spark.plans import tpch_extra  # noqa: E402,F401
 # whenever the registry does: len(QUERIES) - len(_TAIL) must stay <= 50
 # (asserted below) or later registrations silently fall out the window.
 _TAIL = [
+    "funnel_view_click_purchase",
+    "cohort_weekly_retention",
     "approx_distinct_accuracy",
     "approx_quantile_accuracy",
     "weighted_sample_per_lang",

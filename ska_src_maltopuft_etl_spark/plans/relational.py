@@ -1693,3 +1693,121 @@ def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sketch_within_rank_tol"),
         )
     )
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS ts1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts2
+      FROM events e JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'click' AND e.ts > t1.ts1
+      GROUP BY e.user_id),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS ts3
+      FROM events e JOIN t2 ON e.user_id = t2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > t2.ts2
+      GROUP BY e.user_id)
+    SELECT CAST((SELECT COUNT(*) FROM t1) AS BIGINT) AS n_view,
+           CAST((SELECT COUNT(*) FROM t2) AS BIGINT) AS n_view_click,
+           CAST((SELECT COUNT(*) FROM t3) AS BIGINT) AS n_view_click_purchase
+    """,
+    covers=("A2", "J1", "P5"),
+    description=(
+        "ordered funnel analysis: users progressing view -> click -> "
+        "purchase in strict timestamp order (each stage's anchor is the "
+        "EARLIEST qualifying event after the previous stage) — the "
+        "event-sequence pattern the reference's batch model never needed"
+    ),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three stage aggregates chained by broadcast joins on the (small)
+    converted-user set; the raw event scan is touched once per stage
+    with the stage's type filter pushed down. Microsecond timestamps
+    are exact integers, so the strict-after comparisons cannot drift
+    between engines."""
+    ev = _t(spark, sf_dir, "events")
+
+    t1 = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts1"))
+    )
+    t2 = (
+        ev.where(F.col("event_type") == "click")
+        .join(F.broadcast(t1), "user_id")
+        .where(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts2"))
+    )
+    t3 = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(F.broadcast(t2), "user_id")
+        .where(F.col("ts") > F.col("ts2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts3"))
+    )
+    return (
+        t1.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(t2.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(
+            t3.agg(F.count(F.lit(1)).alias("n_view_click_purchase"))
+        )
+    )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events)
+    SELECT strftime(CAST(f.cohort_week AS DATE), '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                          CAST(a.activity_week AS DATE)) / 7 AS INTEGER)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS active_users
+    FROM first_seen f JOIN activity a ON f.user_id = a.user_id
+    GROUP BY 1, 2
+    """,
+    covers=("A2", "A4", "J1", "F6"),
+    description=(
+        "cohort retention matrix: users bucketed by first-seen ISO week, "
+        "distinct-active counts per (cohort, week offset) — the standard "
+        "product-analytics rollup"
+    ),
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two aggregates over one scan lineage; the cohort frame (one row
+    per user) broadcasts into the activity join, so the only wide
+    shuffle is the per-user first-seen aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("activity_week")
+    ).distinct()
+    return (
+        activity.join(F.broadcast(first_seen), "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                F.datediff(
+                    F.to_date("activity_week"), F.to_date("cohort_week")
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
