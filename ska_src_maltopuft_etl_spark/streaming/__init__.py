@@ -7,12 +7,14 @@ from ska_src_maltopuft_etl_spark.streaming.candidates import (
     stream_spccl,
 )
 from ska_src_maltopuft_etl_spark.streaming.ingest import (
+    join_event_streams,
     sessionize_events,
     stream_run_summaries,
     stream_with_watermark_dedup,
 )
 
 __all__ = [
+    "join_event_streams",
     "maintain_aggregate_state",
     "read_finalized",
     "resolve_beams_stream",

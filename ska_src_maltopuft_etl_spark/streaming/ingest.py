@@ -167,3 +167,37 @@ def sessionize_events(
         outputMode="append",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def join_event_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: int = 300,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event
+    with right events for the same key occurring within
+    ``band_seconds`` AFTER it (the streaming form of the batch
+    interval_join operator).
+
+    Both sides carry watermarks and the join condition bounds the time
+    distance, so Spark can expire buffered state once the watermark
+    passes an event's band — state is O(events inside the horizon),
+    not O(stream). Without the band the state store would grow without
+    bound; this is the scale-critical part of the operator, not the
+    join syntax.
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key] == rw[key])
+        & (rw[right_ts] >= lw[left_ts])
+        & (
+            rw[right_ts]
+            <= lw[left_ts] + F.expr(f"INTERVAL {int(band_seconds)} SECONDS")
+        )
+    )
+    return lw.join(rw, cond)

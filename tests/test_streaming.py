@@ -183,3 +183,50 @@ def test_streaming_aggregate_state_maintenance(spark, tmp_path):
         for r in read_finalized(spark, state, ["k"]).collect()
     }
     assert got2 == {"x": 3, "y": 2, "z": 1}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Two file streams joined on user within a 5-minute band; the band
+    bounds the state store, and only in-band pairs emit."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.streaming import join_event_streams
+
+    views = tmp_path / "views"
+    clicks = tmp_path / "clicks"
+    views.mkdir(); clicks.mkdir()
+    (views / "v.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"user_id": 1, "v_ts": "2024-01-01T00:00:00.000Z", "page": "a"},
+                {"user_id": 2, "v_ts": "2024-01-01T00:00:00.000Z", "page": "b"},
+            ]
+        )
+    )
+    (clicks / "c.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                # in band (2 min after view)
+                {"user_id": 1, "c_ts": "2024-01-01T00:02:00.000Z", "target": "x"},
+                # out of band (20 min after view)
+                {"user_id": 2, "c_ts": "2024-01-01T00:20:00.000Z", "target": "y"},
+                # before the view -> excluded
+                {"user_id": 1, "c_ts": "2023-12-31T23:59:00.000Z", "target": "z"},
+            ]
+        )
+    )
+    v = spark.readStream.schema("user_id long, v_ts timestamp, page string").json(str(views))
+    c = spark.readStream.schema("user_id long, c_ts timestamp, target string").json(str(clicks))
+    joined = join_event_streams(v, c, "user_id", "v_ts", "c_ts", band_seconds=300)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT page, target FROM ss_join").collect()
+    assert [(r["page"], r["target"]) for r in rows] == [("a", "x")]
