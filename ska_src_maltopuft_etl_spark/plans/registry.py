@@ -71,15 +71,16 @@ from ska_src_maltopuft_etl_spark.plans import tpch_extra  # noqa: E402,F401
 # whenever the registry does: len(QUERIES) - len(_TAIL) must stay <= 50
 # (asserted below) or later registrations silently fall out the window.
 _TAIL = [
-    "funnel_view_click_purchase",
+    "join_validated_1m",
+    "join_left_m1",
+    "embedding_stats",
+    "topk_orders_per_nation",
+    "q14_promo_share",
+    "text_fingerprint",
+    "dedup_embedding_cosine",
+    "knn_cosine_lsh",
     "cohort_weekly_retention",
-    "approx_distinct_accuracy",
-    "approx_quantile_accuracy",
-    "weighted_sample_per_lang",
-    "bloom_pruned_semi_join",
     "variant_props_stats",
-    "scd2_customer_segments",
-    "heavy_hitter_customers",
     "weighted_sample_docs",
     "q07_nation_volume",
     "q08_market_share",
@@ -113,7 +114,6 @@ _TAIL = [
     "rollup_revenue",
     "percentile_stats",
     "incremental_agg_events",
-    "knn_cosine_ivf",
 ]
 assert len(QUERIES) - len([k for k in _TAIL if k in QUERIES]) <= 50, (
     "driver correctness window overflow: move redundant queries to _TAIL"
