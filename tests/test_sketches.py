@@ -111,3 +111,62 @@ def test_heavy_hitters_shuffles_only_candidates(spark, skewed):
     # full-cardinality groupBy never happens.
     plan = sketches.heavy_hitters(skewed, "k", 0.05)._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+# --- property-based: random data vs exact Python models --------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(st.integers(0, 30), min_size=1, max_size=300),
+    threshold=st.sampled_from([0.05, 0.1, 0.25]),
+    nparts=st.integers(1, 9),
+)
+def test_heavy_hitters_matches_exact_model(spark, data, threshold, nparts):
+    from collections import Counter
+
+    df = spark.createDataFrame([(v,) for v in data], "v long").repartition(nparts)
+    got = {
+        r["v"]: r["freq"]
+        for r in sketches.heavy_hitters(df, "v", threshold).collect()
+    }
+    counts = Counter(data)
+    want = {
+        v: c for v, c in counts.items() if c >= len(data) * threshold
+    }
+    assert got == want
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    weights=st.lists(st.integers(1, 1000), min_size=5, max_size=60),
+    k=st.integers(1, 10),
+)
+def test_weighted_sample_matches_model_on_random_weights(spark, weights, k):
+    import hashlib
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = sorted(
+        r["id"]
+        for r in sketches.weighted_sample_topk(df, "id", "w", k).collect()
+    )
+
+    def key(i, w):
+        h = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16)
+        return math.log((h + 0.5) / sketches.HASH60_DENOM) / w
+
+    ranked = sorted(rows, key=lambda t: (-key(t[0], t[1]), t[0]))
+    want = sorted(i for i, _ in ranked[:k])
+    assert got == want
