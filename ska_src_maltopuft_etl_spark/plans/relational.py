@@ -1809,3 +1809,62 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "data_quality_report",
+    oracle="""
+    SELECT 'non_null:l_orderkey' AS expectation,
+           CAST(COUNT(*) FILTER (l_orderkey IS NULL) AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'non_null:l_partkey',
+           CAST(COUNT(*) FILTER (l_partkey IS NULL) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'between:l_discount[0,0.08]',
+           CAST(COUNT(*) FILTER (l_discount IS NULL OR l_discount < 0
+                                 OR l_discount > 0.08) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'between:l_quantity[1,45]',
+           CAST(COUNT(*) FILTER (l_quantity IS NULL OR l_quantity < 1
+                                 OR l_quantity > 45) AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'regex:l_returnflag',
+           CAST(COUNT(*) FILTER (l_returnflag IS NULL
+                                 OR NOT regexp_matches(l_returnflag, '^[ARN]$'))
+                AS BIGINT) FROM lineitem
+    UNION ALL
+    SELECT 'unique:l_orderkey,l_linenumber',
+           CAST(COALESCE(SUM(n), 0) AS BIGINT)
+    FROM (SELECT COUNT(*) AS n FROM lineitem
+          GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'fk:l_orderkey',
+           CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    covers=("P6", "A2", "J1"),
+    description=(
+        "declarative data-quality gate (operators/expectations.py): all "
+        "row-level expectations (non-null, range, regex) counted in ONE "
+        "aggregate over one scan, set-level rules (uniqueness, FK "
+        "integrity) as keyed jobs — the distributed replacement for the "
+        "reference's per-row Pydantic validation"
+    ),
+)
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ska_src_maltopuft_etl_spark.operators import expectations as X
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return X.quality_report(
+        li,
+        [
+            X.expect_non_null("l_orderkey", "l_partkey"),
+            X.expect_between("l_discount", 0, 0.08),
+            X.expect_between("l_quantity", 1, 45),
+            X.expect_regex("l_returnflag", "^[ARN]$"),
+            X.expect_unique("l_orderkey", "l_linenumber"),
+            X.expect_fk("l_orderkey", o, "o_orderkey"),
+        ],
+    )
