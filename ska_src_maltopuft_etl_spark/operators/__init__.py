@@ -13,9 +13,45 @@ from ska_src_maltopuft_etl_spark.operators.graph import (
     connected_components,
     dedup_clusters,
 )
+from ska_src_maltopuft_etl_spark.operators.bloom import (
+    bloom_might_contain,
+    bloom_semi_join,
+    build_bloom,
+)
+from ska_src_maltopuft_etl_spark.operators.expectations import (
+    ExpectationError,
+    assert_expectations,
+    expect,
+    expect_between,
+    expect_fk,
+    expect_non_null,
+    expect_regex,
+    expect_unique,
+    quality_report,
+)
+from ska_src_maltopuft_etl_spark.operators.sketches import (
+    heavy_hitters,
+    weighted_sample_per_group,
+    weighted_sample_topk,
+)
 
 __all__ = [
     "CardinalityError",
+    "ExpectationError",
+    "assert_expectations",
+    "bloom_might_contain",
+    "bloom_semi_join",
+    "build_bloom",
+    "expect",
+    "expect_between",
+    "expect_fk",
+    "expect_non_null",
+    "expect_regex",
+    "expect_unique",
+    "heavy_hitters",
+    "quality_report",
+    "weighted_sample_per_group",
+    "weighted_sample_topk",
     "asof_join_backward",
     "connected_components",
     "dedup_clusters",
