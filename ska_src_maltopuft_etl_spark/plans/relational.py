@@ -1868,3 +1868,72 @@ def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             X.expect_fk("l_orderkey", o, "o_orderkey"),
         ],
     )
+
+
+@register(
+    "window_distribution_funcs",
+    oracle="""
+    SELECT s_suppkey,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM supplier
+    WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    covers=("W5", "W6"),
+    description=(
+        "window distribution functions (ntile / percent_rank / "
+        "cume_dist) over a total order — completes the ranking-function "
+        "family beyond row_number/lead"
+    ),
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-order window on a dimension-sized table (100 rows) — at
+    fact scale these would partition by a key; the total-order tie-break
+    (acctbal desc, then pk) keeps every engine's assignment identical."""
+    from pyspark.sql import Window
+
+    s = _t(spark, sf_dir, "supplier")
+    w = Window.orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return s.select(
+        "s_suppkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "set_intersect_except",
+    oracle="""
+    WITH urgent AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT'),
+         finished AS (SELECT DISTINCT o_custkey FROM orders
+                      WHERE o_orderstatus = 'F')
+    SELECT 'both' AS bucket, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM finished)
+    UNION ALL
+    SELECT 'urgent_only', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM finished)
+    """,
+    covers=("U1", "P5", "A2"),
+    description=(
+        "INTERSECT / EXCEPT set semantics (distinct-based, null-safe) — "
+        "completes the set-operator family beyond UNION"
+    ),
+)
+def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    urgent = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    ).distinct()
+    finished = o.where(F.col("o_orderstatus") == "F").select(
+        "o_custkey"
+    ).distinct()
+    both = urgent.intersect(finished).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("both").alias("bucket"), "n")
+    only = urgent.exceptAll(finished).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("urgent_only").alias("bucket"), "n")
+    return both.unionByName(only)
