@@ -148,7 +148,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_hash = b2.band_hash
       WHERE a.doc_id < b2.doc_id),
     cand_docs AS (
-      SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands),
+      -- NOT "A UNION B": inside WITH RECURSIVE, DuckDB (1.0) treats a
+      -- two-term UNION CTE as a recursive union and skips cross-term
+      -- dedup, triplicating docs that appear in several pairs
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cands
+        UNION ALL SELECT doc_b FROM cands)),
     shc AS (
       SELECT sh.* FROM sh JOIN cand_docs USING (doc_id)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
@@ -598,8 +603,9 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sa ON sa.doc_id = i.doc_a
       JOIN sizes sb ON sb.doc_id = i.doc_b
       WHERE i.cnt / CAST(sa.sz + sb.sz - i.cnt AS DOUBLE) >= 0.5),
-    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
-            UNION SELECT doc_b, doc_a FROM edges),
+    und AS (SELECT DISTINCT a, b FROM (
+              SELECT doc_a AS a, doc_b AS b FROM edges
+              UNION ALL SELECT doc_b, doc_a FROM edges)),
     reach(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
@@ -751,7 +757,12 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM bands a JOIN bands b2 ON a.band = b2.band AND a.band_hash = b2.band_hash
       WHERE a.doc_id < b2.doc_id),
     cand_docs AS (
-      SELECT doc_a AS doc_id FROM cands UNION SELECT doc_b FROM cands),
+      -- NOT "A UNION B": inside WITH RECURSIVE, DuckDB (1.0) treats a
+      -- two-term UNION CTE as a recursive union and skips cross-term
+      -- dedup, triplicating docs that appear in several pairs
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM cands
+        UNION ALL SELECT doc_b FROM cands)),
     shc AS (
       SELECT sh.* FROM sh JOIN cand_docs USING (doc_id)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shc GROUP BY doc_id),
@@ -767,8 +778,9 @@ def dedup_normalized_text(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN sizes sb ON sb.doc_id = c.doc_b
       WHERE COALESCE(CAST(i.isect AS DOUBLE)
                      / (sa.sz + sb.sz - i.isect), 0.0) >= 0.5),
-    und AS (SELECT doc_a AS a, doc_b AS b FROM edges
-            UNION SELECT doc_b, doc_a FROM edges),
+    und AS (SELECT DISTINCT a, b FROM (
+              SELECT doc_a AS a, doc_b AS b FROM edges
+              UNION ALL SELECT doc_b, doc_a FROM edges)),
     reach(node, lbl) AS (
       SELECT doc_id, doc_id FROM documents
       UNION
