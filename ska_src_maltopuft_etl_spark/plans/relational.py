@@ -1937,3 +1937,41 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n")
     ).select(F.lit("urgent_only").alias("bucket"), "n")
     return both.unionByName(only)
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderstatus), ())
+    """,
+    covers=("A2", "P7"),
+    description=(
+        "arbitrary GROUPING SETS (neither pure cube nor rollup) with "
+        "GROUPING() disambiguation of produced NULLs vs data NULLs — "
+        "completes the grouping family beyond CUBE/ROLLUP"
+    ),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary grouping sets aren't exposed in the DataFrame API —
+    this goes through the SQL frontend over a registered view, the same
+    single-pass expand+aggregate plan CUBE/ROLLUP compile to."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 2) AS revenue,
+               CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+               CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderstatus), ())
+        """
+    )
