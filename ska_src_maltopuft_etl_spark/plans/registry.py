@@ -71,6 +71,7 @@ from ska_src_maltopuft_etl_spark.plans import tpch_extra  # noqa: E402,F401
 # whenever the registry does: len(QUERIES) - len(_TAIL) must stay <= 50
 # (asserted below) or later registrations silently fall out the window.
 _TAIL = [
+    "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",
     "set_intersect_except",

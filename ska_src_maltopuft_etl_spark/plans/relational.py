@@ -1975,3 +1975,46 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderstatus), ())
         """
     )
+
+
+@register(
+    "map_type_event_profile",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchases,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS errors,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    covers=("A2", "R5", "P7"),
+    description=(
+        "MapType round-trip: per-user event-type counts built as a "
+        "map<string,bigint> column (map_from_entries over a collected "
+        "struct list), then accessed with element_at / map_keys — the "
+        "map-column family of the type system, absent elsewhere"
+    ),
+)
+def map_type_event_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map column is the engine-side artifact under test; the
+    output projects plain columns out of it so the oracle (which has no
+    equivalent map representation) compares values, not encodings."""
+    ev = _t(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    profiled = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "__n"))
+        ).alias("__profile")
+    )
+    return profiled.select(
+        "user_id",
+        F.coalesce(F.element_at("__profile", "purchase"), F.lit(0)).alias(
+            "purchases"
+        ),
+        F.coalesce(F.element_at("__profile", "error"), F.lit(0)).alias(
+            "errors"
+        ),
+        F.size(F.map_keys("__profile")).cast("long").alias("n_types"),
+    )
