@@ -48,7 +48,13 @@ def transform_candidate(
 ) -> DataFrame:
     """Candidate rows with coordinates, observed_at, pos and beam_id
     (candidate/transform.py:87-202)."""
-    cand = surrogate_key(cand_df, "candidate_id", ["cand_mjd", "filename"])
+    # (cand_mjd, filename) is a total order over candidate rows, so the
+    # partition-offset mode produces ids identical to the global-window
+    # mode — without the single-partition exchange that would bottleneck
+    # the fact-sized candidate table at cluster scale.
+    cand = surrogate_key(
+        cand_df, "candidate_id", ["cand_mjd", "filename"], scalable=True
+    )
     cand = cand.withColumns(
         {
             "cand_coherent": F.col("cand_beam_mode") == "C",
@@ -119,7 +125,7 @@ def transform_sp_candidate(
 ) -> DataFrame:
     """sp_candidate rows: plot path prefixed with the remote root and
     partition (candidate/transform.py:205-227)."""
-    sp = surrogate_key(cand, "sp_candidate_id", ["candidate_id"])
+    sp = surrogate_key(cand, "sp_candidate_id", ["candidate_id"], scalable=True)
     return sp.withColumn(
         "sp_cand_plot_path",
         F.concat_ws(

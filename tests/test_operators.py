@@ -131,6 +131,38 @@ def test_surrogate_key_scalable_large(spark):
     assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
 
 
+def test_surrogate_key_scalable_plan_no_global_window(spark):
+    """The fact table must flow through range partitioning, not a
+    single-partition global window; the only SinglePartition exchange
+    allowed is the tiny per-partition-count prefix sum (VERDICT r2 #2)."""
+    import contextlib
+    import io
+
+    n = 10_000
+    df = spark.range(n).select((F.col("id") * 37 % n).alias("k"))
+
+    def plan(d):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            d.explain("formatted")
+        return buf.getvalue()
+
+    dense_plan = plan(surrogate_key(df, "sk", ["k"]))
+    scal_plan = plan(surrogate_key(df, "sk", ["k"], scalable=True))
+    # dense mode is the single-partition shape (what the pipeline must avoid)
+    assert "SinglePartition" in dense_plan
+    assert "rangepartitioning" in scal_plan
+    # scalable mode: fact rows are range-partitioned; at most one
+    # SinglePartition exchange remains and it sits above the HashAggregate
+    # that reduced the data to one row per partition.
+    single = [
+        ln for ln in scal_plan.splitlines() if "SinglePartition" in ln
+    ]
+    assert len(single) <= 1
+    if single:
+        assert "hashagg" in scal_plan.lower()
+
+
 def test_validated_join(spark):
     left = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
     right = spark.createDataFrame([(1, 10), (1, 20), (2, 30)], "id int, w int")
