@@ -466,24 +466,35 @@ def cosine_pairs_exact(
     vec_col: str,
     threshold: float,
     decimals: int = 5,
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """All-pairs cosine similarity >= threshold, exact, vectorized.
+    """All-pairs cosine similarity >= threshold, exact, distributed.
 
-    An O(n²) pair enumeration with a non-equi condition plans as a
-    BroadcastNestedLoopJoin — a non-codegen operator where per-pair
-    expression evaluation is interpreted (~40 µs/pair). This kernel
-    instead broadcasts the corpus matrix to every executor and computes
-    dot blocks in numpy over Arrow batches — the "vectorized Pandas UDF
+    Block-grid formulation of the inherently O(n²) exact problem: each
+    row gets a deterministic block ``hash(id) % B``; the unordered pair
+    (x, y) lives in exactly one grid cell (block(x), block(y)) with
+    block(x) <= block(y). The left side replicates each row to the
+    cells right of its block, the right side to the cells above, and a
+    ``cogroup().applyInPandas`` computes each cell's dot-product block
+    in vectorized numpy over Arrow batches — the "vectorized Pandas UDF
     beats per-row by 10-100×" rule applied to dense math.
+
+    Unlike a broadcast/collect design there is NO driver materialization
+    and no full-corpus broadcast: shuffle volume is (B+1)·n vectors,
+    per-task memory is two corpus blocks (~n/B rows each), and the n²/B²
+    cells spread across the cluster. B defaults to the session's default
+    parallelism (capped at 64); at cluster scale pick B ≈ √(2·cores) so
+    every core gets a cell. (A non-equi pair join would instead plan as
+    a BroadcastNestedLoopJoin — non-codegen, ~40 µs/pair interpreted.)
 
     Summation accumulates dimension-by-dimension in index order, exactly
     matching the sequential fold of :func:`_dot` / the SQL oracle, so
     results are bit-identical to the expression formulation. Pair
     orientation is (id_a < id_b).
 
-    Scale note: exact all-pairs is inherently quadratic — this is the
-    verification/baseline path; the sub-quadratic path is
-    :func:`cosine_topk_lsh`-style bucketing.
+    Scale note: exact all-pairs stays quadratic in COMPUTE — this is
+    the verification/baseline path; the sub-quadratic candidate paths
+    are :func:`cosine_topk_lsh` / :func:`cosine_topk_ivf` bucketing.
     """
     import numpy as np
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -497,13 +508,15 @@ def cosine_pairs_exact(
             StructField("cosine", DoubleType()),
         ]
     )
-    corpus = df.select(id_col, vec_col).toPandas()
-    if not len(corpus):
-        return spark.createDataFrame([], out_schema)
-    ids_all = corpus[id_col].to_numpy()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in corpus[vec_col]])
-    dim = M.shape[1]
-    bc = spark.sparkContext.broadcast((ids_all, M))
+    B = n_blocks or max(2, min(64, spark.sparkContext.defaultParallelism))
+
+    base = df.select(id_col, vec_col).withColumn(
+        "__blk", F.pmod(F.xxhash64(F.col(id_col)), F.lit(B)).cast("int")
+    )
+    left = base.withColumn(
+        "__cell_b", F.explode(F.expr(f"sequence(__blk, {B - 1})"))
+    )
+    right = base.withColumn("__cell_a", F.explode(F.expr("sequence(0, __blk)")))
 
     def _norms(mat: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(mat.shape[0])
@@ -511,27 +524,42 @@ def cosine_pairs_exact(
             acc += mat[:, d] * mat[:, d]
         return np.sqrt(acc)
 
-    def gen(batches):
+    def cell(key, lpdf, rpdf):
         import pandas as pd
 
-        ids_r, Mr = bc.value
-        nr = _norms(Mr)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            ida = pdf[id_col].to_numpy()
-            na = _norms(A)
-            dots = np.zeros((A.shape[0], Mr.shape[0]))
-            for d in range(dim):
-                dots += np.outer(A[:, d], Mr[:, d])
-            cos = np.round(dots / np.outer(na, nr), decimals)
-            ai, bi = np.nonzero((ida[:, None] < ids_r[None, :]) & (cos >= threshold))
-            yield pd.DataFrame(
-                {"vec_a": ida[ai], "vec_b": ids_r[bi], "cosine": cos[ai, bi]}
-            )
+        if not len(lpdf) or not len(rpdf):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []})
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in lpdf[vec_col]])
+        Bm = np.stack([np.asarray(v, dtype=np.float64) for v in rpdf[vec_col]])
+        ida = lpdf[id_col].to_numpy()
+        idb = rpdf[id_col].to_numpy()
+        na, nb = _norms(A), _norms(Bm)
+        dots = np.zeros((A.shape[0], Bm.shape[0]))
+        for d in range(A.shape[1]):
+            dots += np.outer(A[:, d], Bm[:, d])
+        cos = np.round(dots / np.outer(na, nb), decimals)
+        hit = cos >= threshold
+        if key[0] == key[1]:
+            # diagonal cell: both sides are the same block — orient and
+            # dedup the unordered pair via id_a < id_b.
+            hit &= ida[:, None] < idb[None, :]
+            ai, bi = np.nonzero(hit)
+            va, vb = ida[ai], idb[bi]
+        else:
+            # off-diagonal: the pair occurs in exactly this one cell —
+            # canonicalize orientation to (smaller id, larger id).
+            ai, bi = np.nonzero(hit)
+            va = np.minimum(ida[ai], idb[bi])
+            vb = np.maximum(ida[ai], idb[bi])
+        return pd.DataFrame({"vec_a": va, "vec_b": vb, "cosine": cos[ai, bi]})
 
-    return df.select(id_col, vec_col).mapInPandas(gen, schema=out_schema)
+    grouped_l = left.groupBy(
+        F.col("__blk").alias("__ka"), F.col("__cell_b").alias("__kb")
+    )
+    grouped_r = right.groupBy(
+        F.col("__cell_a").alias("__ka"), F.col("__blk").alias("__kb")
+    )
+    return grouped_l.cogroup(grouped_r).applyInPandas(cell, schema=out_schema)
 
 
 def cosine_topk_ivf(

@@ -650,25 +650,55 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="edit-distance fuzzy matching (record-linkage dedup family)",
 )
 def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact all-pairs is inherently quadratic on common-prefix names
-    # (every segment/q-gram block degenerates to the full table), so the
-    # scale levers are (a) stream-side parallelism of the BNLJ —
-    # _spread, 1 → n_cores tasks — and (b) the length-band prefilter
-    # below, which is the standard record-linkage blocking step.
-    s = _spread(load_table(spark, sf_dir, "supplier"))
-    a = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"))
-    b = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"))
-    # |len(a)-len(b)| <= 2 is a necessary condition for distance <= 2:
-    # an exact blocking predicate evaluated before the levenshtein DP.
+    # Deletion-neighborhood blocking (the FastSS family): if
+    # ed(a, b) <= 2 then deleting the <= 2 unaligned characters from
+    # each side yields a COMMON string, so every true pair shares at
+    # least one <=2-deletion variant. Emitting all such variants
+    # (1 + L + L(L-1)/2 per string — ~172 for 18-char names) and
+    # equi-joining on the variant hash generates a complete candidate
+    # set in near-linear time; the thresholded levenshtein DP then
+    # verifies exactly. This replaces the earlier length-band BNLJ,
+    # which stayed quadratic on common-prefix corpora (q-gram/segment
+    # blocking degenerates the same way on shared prefixes — the
+    # deletion neighborhood does not). Right-sized for short
+    # record-linkage keys; not for document-length strings.
+    s = load_table(spark, sf_dir, "supplier")
+    # All variants of s_name with 0, 1 or 2 characters deleted, built
+    # JVM-side with higher-order array functions (no Python UDF).
+    variants = F.expr(
+        """
+        array_distinct(concat(
+          array(s_name),
+          transform(sequence(1, greatest(length(s_name), 1)),
+                    i -> concat(substring(s_name, 1, i-1),
+                                substring(s_name, i+1, length(s_name)))),
+          flatten(transform(sequence(1, greatest(length(s_name), 1)),
+            i -> transform(sequence(least(i+1, length(s_name)), length(s_name)),
+              j -> concat(substring(s_name, 1, i-1),
+                          substring(s_name, i+1, j-i-1),
+                          substring(s_name, j+1, length(s_name))))))
+        ))
+        """
+    )
+    v = s.select(
+        "s_suppkey",
+        "s_name",
+        F.explode(variants).alias("__variant"),
+    ).select("s_suppkey", "s_name", F.xxhash64("__variant").alias("__vh"))
+    a = v.select(
+        F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"), "__vh"
+    )
+    b = v.select(
+        F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"), "__vh"
+    )
+    cand = (
+        a.join(b, "__vh")
+        .where(F.col("supp_a") < F.col("supp_b"))
+        .select("supp_a", "supp_b", "__na", "__nb")
+        .distinct()
+    )
     return (
-        a.join(
-            b,
-            (F.col("supp_a") < F.col("supp_b"))
-            & (
-                F.abs(F.length("__na") - F.length("__nb")) <= F.lit(2)
-            ),
-        )
-        .select(
+        cand.select(
             "supp_a",
             "supp_b",
             # threshold form early-exits the DP once distance > 2
