@@ -73,7 +73,15 @@ def surrogate_key(
         return df.withColumn(name, (F.row_number().over(w) + offset - 1).cast("long"))
 
     sorted_df = df.repartitionByRange(*ordered).sortWithinPartitions(*ordered)
-    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id())
+    # repartitionByRange picks boundaries by SAMPLING, and this plan reads
+    # the partitioned data from two branches (the per-partition numbering
+    # below and the partition-size aggregate). If Catalyst does not reuse
+    # the exchange, each branch re-samples different boundaries and the
+    # spark_partition_id values disagree — the __pid join then silently
+    # drops or misnumbers rows (observed at 150k+ rows). localCheckpoint
+    # materializes the partitioning ONCE (eagerly, on executor storage,
+    # lineage cut) so both branches see identical pids.
+    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
     w_local = Window.partitionBy("__pid").orderBy(*ordered)
     local = with_pid.withColumn("__local_rn", F.row_number().over(w_local))
     # exclusive prefix sum of partition sizes — tiny aggregate, broadcast.

@@ -54,6 +54,7 @@ def register(
 from ska_src_maltopuft_etl_spark.plans import relational  # noqa: E402,F401
 from ska_src_maltopuft_etl_spark.plans import llmops  # noqa: E402,F401
 from ska_src_maltopuft_etl_spark.plans import tpch_extra  # noqa: E402,F401
+from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 
 # The driver's correctness gate samples the FIRST 50 queries() entries
 # (observed in round 1: exactly the first 50 of 57 appeared in

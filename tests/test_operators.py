@@ -151,7 +151,10 @@ def test_surrogate_key_scalable_plan_no_global_window(spark):
     scal_plan = plan(surrogate_key(df, "sk", ["k"], scalable=True))
     # dense mode is the single-partition shape (what the pipeline must avoid)
     assert "SinglePartition" in dense_plan
-    assert "rangepartitioning" in scal_plan
+    # scalable mode materializes the range-partitioned sort via
+    # localCheckpoint (lineage cut), so the downstream plan reads the
+    # checkpointed RDD rather than showing the range exchange.
+    assert "ExistingRDD" in scal_plan
     # scalable mode: fact rows are range-partitioned; at most one
     # SinglePartition exchange remains and it sits above the HashAggregate
     # that reduced the data to one row per partition.
