@@ -105,7 +105,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("o_orderkey"), "o_orderdate")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
@@ -160,7 +160,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == sup.s_nationkey))
         .groupBy("n_name")
         .agg(
@@ -213,7 +213,7 @@ def join_left_m1(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 5000)
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+        o.join(c, o.o_custkey == c.c_custkey, "left")
         .select("o_orderkey", "c_name", "c_mktsegment")
     )
 
@@ -980,7 +980,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -1014,7 +1014,7 @@ def topk_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation")
     joined = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_name", "o_orderkey", "o_totalprice")
     )
@@ -1255,7 +1255,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .agg(
             F.round(
                 100.0
@@ -1285,7 +1285,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    j = li.join(p, li["l_partkey"] == p["p_partkey"])
     cond = (
         (
             (F.col("p_brand") == "Brand#12")
@@ -1736,14 +1736,14 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t2 = (
         ev.where(F.col("event_type") == "click")
-        .join(F.broadcast(t1), "user_id")
+        .join(t1, "user_id")
         .where(F.col("ts") > F.col("ts1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts2"))
     )
     t3 = (
         ev.where(F.col("event_type") == "purchase")
-        .join(F.broadcast(t2), "user_id")
+        .join(t2, "user_id")
         .where(F.col("ts") > F.col("ts2"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("ts3"))
@@ -1782,9 +1782,10 @@ def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
 )
 def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two aggregates over one scan lineage; the cohort frame (one row
-    per user) broadcasts into the activity join, so the only wide
-    shuffle is the per-user first-seen aggregate."""
+    """Two aggregates over one scan lineage joined on user_id. The
+    cohort frame is one row per user — scale-proportional, so no forced
+    broadcast: AQE picks the strategy (broadcast locally, shuffled
+    hash at cluster scale where users outgrow executor memory)."""
     ev = _t(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
@@ -1793,7 +1794,7 @@ def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.date_trunc("week", "ts").alias("activity_week")
     ).distinct()
     return (
-        activity.join(F.broadcast(first_seen), "user_id")
+        activity.join(first_seen, "user_id")
         .select(
             F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
             (

@@ -81,7 +81,7 @@ def q07_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
     )
     j = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
@@ -144,8 +144,8 @@ def q08_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
     )
     j = (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
@@ -202,8 +202,8 @@ def q09_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("p_retailprice") * 0.1 * F.col("l_quantity")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
-        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select(
@@ -250,7 +250,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
     v = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum("l_quantity").alias("qty"))
@@ -342,7 +342,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(best))
         .where(F.col("total_revenue") == F.col("__max_rev"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey",
             "s_name",
@@ -388,8 +388,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(excluded), li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
-        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(excluded, li["l_suppkey"] == excluded["s_suppkey"], "left_anti")
+        .join(p, li["l_partkey"] == p["p_partkey"])
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -424,7 +424,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.avg("l_quantity") * 0.2).alias("__qty_limit")
     )
     return (
-        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        li.join(p, li["l_partkey"] == p["p_partkey"])
         .join(per_part, li["l_partkey"] == F.col("__pk"))
         .where(F.col("l_quantity") < F.col("__qty_limit"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
@@ -518,7 +518,7 @@ def q20_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     movers = (
-        li.join(F.broadcast(red_parts), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        li.join(red_parts, li["l_partkey"] == F.col("p_partkey"), "left_semi")
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum("l_quantity").alias("__qty"))
         .where(F.col("__qty") > 50)
@@ -593,7 +593,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("__late") & (F.col("__nsupp") >= 2) & (F.col("__nlate") == 1))
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == s["s_suppkey"])
+        waiting.join(s, F.col("l_suppkey") == s["s_suppkey"])
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

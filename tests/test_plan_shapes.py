@@ -35,10 +35,14 @@ def test_q01_pushdown_and_pruning(spark):
 
 def test_q05_broadcasts_dimensions(spark):
     plan = plan_of(spark, "q05_local_supplier_volume")
-    assert plan.count("BroadcastHashJoin") >= 3
-    # a single shuffle for the final aggregate (plus AQE artifacts at most)
+    # fixed-size dimensions (nation, region) stay broadcast-hinted; the
+    # scale-proportional sides (supplier, customer, orders) carry NO
+    # forced hint — statically they plan as shuffle joins and AQE
+    # converts them to broadcast at runtime when small (VERDICT r2 #5).
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan
     exchanges = [l for l in plan.splitlines() if "+- Exchange" in l or l.strip().startswith("Exchange")]
-    assert len(exchanges) <= 2
+    assert len(exchanges) <= 5
 
 
 def test_asof_single_shuffle(spark):
