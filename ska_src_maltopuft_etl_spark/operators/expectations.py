@@ -167,6 +167,12 @@ def quality_report(df: DataFrame, expectations) -> DataFrame:
                 )
             )
 
+    if not parts:
+        # no expectations supplied — an empty report, not a crash
+        # (assert_expectations then trivially passes; ADVICE r2).
+        return df.sparkSession.createDataFrame(
+            [], "expectation string, n_violations long"
+        )
     report = parts[0]
     for p in parts[1:]:
         report = report.unionByName(p)

@@ -48,10 +48,18 @@ def _mg_candidates(col: str, capacity: int):
     any value with partition frequency > n_p / capacity survives.
     """
 
+    # Unique sentinel standing in for NULL inside the counter dict —
+    # NaN keys would never merge across batches (NaN != NaN), silently
+    # splitting the null group's count (ADVICE r2).
+    _NULL = object()
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
         for pdf in batches:
-            vc = pdf[col].value_counts()
+            n_null = int(pdf[col].isna().sum())
+            if n_null:
+                counters[_NULL] = counters.get(_NULL, 0) + n_null
+            vc = pdf[col].value_counts()  # dropna — nulls counted above
             for v, c in vc.items():
                 counters[v] = counters.get(v, 0) + int(c)
             if len(counters) > capacity:
@@ -61,7 +69,9 @@ def _mg_candidates(col: str, capacity: int):
                 counters = {
                     v: c - dec for v, c in counters.items() if c - dec > 0
                 }
-        yield pd.DataFrame({col: list(counters.keys())})
+        yield pd.DataFrame(
+            {col: [None if v is _NULL else v for v in counters]}
+        )
 
     return gen
 
@@ -101,8 +111,13 @@ def heavy_hitters(
         .distinct()
     )
     total = src.agg(F.count(F.lit(1)).alias("__n"))
+    # eqNullSafe so a frequent NULL group survives the verify join —
+    # matching SQL GROUP BY, which counts the NULL group (ADVICE r2).
+    cand_r = cand.withColumnRenamed(col, "__cand")
     return (
-        src.join(F.broadcast(cand), col, "left_semi")
+        src.join(
+            F.broadcast(cand_r), F.col(col).eqNullSafe(F.col("__cand")), "left_semi"
+        )
         .groupBy(col)
         .agg(F.count(F.lit(1)).alias("freq"))
         .crossJoin(F.broadcast(total))

@@ -38,17 +38,35 @@ __all__ = ["zorder_key", "zorder_write", "file_skipping_stats"]
 def _bucket(col: Column, boundaries: list[float], bits: int) -> Column:
     """Rank code in [0, 2^bits): number of quantile boundaries <= value.
 
-    The boundaries array is a literal (broadcast with the plan); the
-    count runs as a JVM higher-order function — no Python, no join.
-    NULLs sort first (code 0).
+    Two-level search, all JVM-side (no Python, no join): a coarse fold
+    over the ~sqrt(n) chunk-maxima counts the fully-covered chunks, then
+    one `slice` at the computed offset folds over the single partial
+    chunk — ~2*sqrt(n) comparisons per row (128 for the default 4095
+    boundaries) instead of a linear n-fold (ADVICE r2). A true log-n
+    branchy search is not expressible without exponential expression
+    duplication (Catalyst expressions are trees, not DAGs), and at 128
+    branch-free vectorized ops per row this is not the bottleneck of a
+    write path. NULLs sort first (code 0).
     """
+    v = col.cast("double")
+    n = len(boundaries)
+    chunk = max(1, 1 << ((bits + 1) // 2))
     b = F.array(*[F.lit(float(x)) for x in boundaries])
-    code = F.aggregate(
-        b,
-        F.lit(0),
-        lambda acc, bound: acc + F.when(col.cast("double") >= bound, 1).otherwise(0),
+    maxima = F.array(
+        *[F.lit(float(x)) for x in boundaries[chunk - 1 :: chunk]]
     )
-    return F.least(code, F.lit((1 << bits) - 1)).cast("long")
+
+    def count_le(arr: Column) -> Column:
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, bound: acc + F.when(v >= bound, 1).otherwise(0),
+        )
+
+    coarse = count_le(maxima)
+    # slice past the array end yields an empty array -> fine = 0.
+    fine = count_le(F.slice(b, coarse * chunk + 1, chunk))
+    return F.least(coarse * chunk + fine, F.lit((1 << bits) - 1)).cast("long")
 
 
 def _interleave(codes: list[Column], bits: int) -> Column:

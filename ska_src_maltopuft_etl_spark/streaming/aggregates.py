@@ -19,12 +19,18 @@ streaming aggregation state store:
 - no state-store retention tuning: the parquet IS the checkpointed
   aggregate, atomically replaced per batch.
 
-Crash consistency: the swap is write-temp → atomic directory rename,
-and Structured Streaming's checkpoint replays an unacknowledged batch
-on restart — the merge is NOT idempotent per replayed batch (counts
-would double), so `epoch_id` is persisted alongside the state and a
-replayed epoch is skipped. This is the standard exactly-once
-foreachBatch recipe.
+Crash consistency: the merge is NOT idempotent per replayed batch
+(counts would double), and Structured Streaming's checkpoint replays an
+unacknowledged batch on restart — so the last-merged ``epoch_id`` is
+written INSIDE the state directory before it is promoted, making state
+and epoch commit in the same rename. The promote itself is
+rename-aside: the current state moves to ``_old`` (never deleted while
+it is the only copy), the fresh state renames into place, then
+``_old`` is dropped; a crash at any point leaves either the old state
+(epoch unchanged → the replay re-merges) or the new state (epoch
+advanced → the replay is skipped), never a missing or doubled one.
+The interrupted window (no current state, ``_old`` present) is healed
+at the top of the next merge.
 """
 
 from __future__ import annotations
@@ -38,11 +44,25 @@ from ska_src_maltopuft_etl_spark.operators import incremental_agg as ia
 
 __all__ = ["maintain_aggregate_state", "read_finalized"]
 
-_EPOCH_FILE = "_last_epoch"
+# Lives inside the promoted state directory; the leading underscore makes
+# parquet readers skip it.
+_EPOCH_FILE = "_epoch"
 
 
-def _state_dirs(state_path: str) -> tuple[str, str]:
-    return os.path.join(state_path, "state"), os.path.join(state_path, "_tmp")
+def _state_dirs(state_path: str) -> tuple[str, str, str]:
+    return (
+        os.path.join(state_path, "state"),
+        os.path.join(state_path, "_tmp"),
+        os.path.join(state_path, "_old"),
+    )
+
+
+def _last_epoch(state_dir: str) -> int:
+    f = os.path.join(state_dir, _EPOCH_FILE)
+    if os.path.exists(f):
+        with open(f) as fh:
+            return int(fh.read().strip() or -1)
+    return -1
 
 
 def maintain_aggregate_state(
@@ -59,29 +79,37 @@ def maintain_aggregate_state(
     Returns the started :class:`StreamingQuery`. Query the live
     statistics at any moment with :func:`read_finalized`.
     """
-    cur_dir, tmp_dir = _state_dirs(state_path)
+    cur_dir, tmp_dir, old_dir = _state_dirs(state_path)
     os.makedirs(state_path, exist_ok=True)
-    epoch_file = os.path.join(state_path, _EPOCH_FILE)
 
     def merge_batch(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(epoch_file):
-            with open(epoch_file) as fh:
-                if int(fh.read().strip() or -1) >= epoch_id:
-                    return  # replayed batch after restart — already merged
+        # Heal an interrupted promote: the only window with no cur_dir is
+        # between the two renames below, where _old holds the pre-merge
+        # state — roll back to it (its epoch is the pre-merge one, so the
+        # replayed batch re-merges).
+        if not os.path.exists(cur_dir) and os.path.exists(old_dir):
+            os.rename(old_dir, cur_dir)
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+        shutil.rmtree(old_dir, ignore_errors=True)
+        if _last_epoch(cur_dir) >= epoch_id:
+            return  # replayed batch after restart — already merged
         batch_state = ia.aggregate_state(batch_df, group_cols, value_col)
         if os.path.exists(cur_dir):
             existing = spark.read.parquet(cur_dir)
             merged = ia.merge_states(existing, batch_state, group_cols)
         else:
             merged = batch_state
-        # materialize BEFORE touching cur_dir (merged reads from it)
-        shutil.rmtree(tmp_dir, ignore_errors=True)
+        # materialize BEFORE touching cur_dir (merged reads from it), and
+        # stamp the epoch INSIDE the directory so state + epoch promote
+        # in one atomic rename.
         merged.write.mode("overwrite").parquet(tmp_dir)
-        shutil.rmtree(cur_dir, ignore_errors=True)
-        os.replace(tmp_dir, cur_dir)
-        with open(epoch_file, "w") as fh:
+        with open(os.path.join(tmp_dir, _EPOCH_FILE), "w") as fh:
             fh.write(str(epoch_id))
+        if os.path.exists(cur_dir):
+            os.rename(cur_dir, old_dir)
+        os.rename(tmp_dir, cur_dir)
+        shutil.rmtree(old_dir, ignore_errors=True)
 
     writer = stream_df.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint_path
@@ -97,5 +125,5 @@ def read_finalized(
     """Finalized per-group statistics from the current persisted state —
     a scan of |group domain| rows regardless of how much data the
     stream has absorbed."""
-    cur_dir, _ = _state_dirs(state_path)
+    cur_dir, _, _ = _state_dirs(state_path)
     return ia.finalize(spark.read.parquet(cur_dir), group_cols)

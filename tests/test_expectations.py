@@ -76,3 +76,14 @@ def test_row_level_rules_share_one_scan(spark, dirty):
     # one aggregate over one scan: exactly one Relation in the plan
     plan = rep._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("LogicalRDD") + plan.count("Relation") <= 1
+
+def test_empty_expectation_list(spark, dirty):
+    from ska_src_maltopuft_etl_spark.operators.expectations import (
+        assert_expectations,
+        quality_report,
+    )
+
+    report = quality_report(dirty, [])
+    assert report.columns == ["expectation", "n_violations"]
+    assert report.count() == 0
+    assert_expectations(dirty, [])  # trivially passes

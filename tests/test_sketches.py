@@ -68,6 +68,17 @@ def test_heavy_hitters_numeric_column(spark):
     assert [(r["v"], r["freq"]) for r in out] == [(1, 50)]
 
 
+def test_heavy_hitters_null_group(spark):
+    """A NULL-dominated column reports the NULL group with its exact
+    count, matching SQL GROUP BY semantics (ADVICE r2)."""
+    df = spark.createDataFrame(
+        [(None,)] * 40 + [("a",)] * 30 + [(f"x{i}",) for i in range(30)],
+        "k string",
+    ).repartition(5)
+    got = {r["k"]: r["freq"] for r in sketches.heavy_hitters(df, "k", 0.25).collect()}
+    assert got == {None: 40, "a": 30}
+
+
 def test_weighted_sample_deterministic_and_partition_invariant(spark):
     df = spark.createDataFrame(
         [(i, f"d{i}", 10 + (i * 37) % 500) for i in range(400)],

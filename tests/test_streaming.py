@@ -184,6 +184,31 @@ def test_streaming_aggregate_state_maintenance(spark, tmp_path):
     }
     assert got2 == {"x": 3, "y": 2, "z": 1}
 
+    # crash-window recovery (ADVICE r2): simulate dying between the two
+    # promote renames — current state moved aside to _old, nothing in its
+    # place. The next merge must heal (_old → state), then process only
+    # the genuinely new file; the epoch stamp lives INSIDE the state dir
+    # so a replayed epoch can never double-merge.
+    import os as _os
+
+    from ska_src_maltopuft_etl_spark.streaming.aggregates import (
+        _EPOCH_FILE,
+        _state_dirs,
+    )
+
+    cur_dir, _tmp, old_dir = _state_dirs(state)
+    assert _os.path.exists(_os.path.join(cur_dir, _EPOCH_FILE))
+    _os.rename(cur_dir, old_dir)
+    (data / "d.json").write_text(_json.dumps({"k": "z", "v": 2.0}))
+    q3 = start()
+    q3.awaitTermination(120)
+    got3 = {
+        r["k"]: (r["n_rows"], r["value_sum"])
+        for r in read_finalized(spark, state, ["k"]).collect()
+    }
+    assert got3 == {"x": (3, 9.0), "y": (2, 10.0), "z": (2, 9.0)}
+    assert _os.path.exists(cur_dir) and not _os.path.exists(old_dir)
+
 
 def test_stream_stream_interval_join(spark, tmp_path):
     """Two file streams joined on user within a 5-minute band; the band
