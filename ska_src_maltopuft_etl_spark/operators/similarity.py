@@ -572,6 +572,7 @@ def cosine_topk_ivf(
     n_probe: int = 2,
     lloyd_iters: int = 2,
     decimals: int = 5,
+    distributed_refine_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k cosine via IVF (inverted-file) clustering.
 
@@ -583,6 +584,16 @@ def cosine_topk_ivf(
     centroids' inverted lists. At scale the assignment is a map-only
     pass and the probe is an equi-join on cluster id — the crossJoin
     disappears.
+
+    ``distributed_refine_iters`` > 0 runs additional Lloyd iterations
+    over the FULL corpus (VERDICT r2 #9): each iteration is one map-only
+    pass emitting per-batch partial (sum, count) per centroid, a tiny
+    keyed aggregate (n_centroids groups), and an O(n_centroids·dim)
+    driver collect — so centroid quality no longer depends on what the
+    bounded sample saw. Note the cross-partition float sums make the
+    refined centroids order-sensitive in the last ulp, so refined runs
+    are recall-stable but not bit-reproducible — keep it off for
+    hash-pinned oracle queries.
     """
     import numpy as np
     import pandas as pd
@@ -600,6 +611,43 @@ def cosine_topk_ivf(
             if len(members):
                 m = members.mean(axis=0)
                 cents[c] = m / np.linalg.norm(m)
+
+    dim_full = len(cents[0])
+    for _ in range(distributed_refine_iters):
+        it_bc = spark.sparkContext.broadcast(cents)
+
+        def partial_sums(batches):
+            C = it_bc.value
+            K = C.shape[0]
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+                An = A / np.linalg.norm(A, axis=1, keepdims=True)
+                a = np.argmax(An @ C.T, axis=1)
+                sums = np.zeros((K, C.shape[1]))
+                np.add.at(sums, a, An)
+                counts = np.bincount(a, minlength=K)
+                yield pd.DataFrame(
+                    {
+                        "__c": np.arange(K, dtype="int32"),
+                        "__s": list(sums),
+                        "__n": counts.astype("int64"),
+                    }
+                )
+
+        part = corpus.select(vec_col).mapInPandas(
+            partial_sums, schema="__c int, __s array<double>, __n long"
+        )
+        reduced = part.groupBy("__c").agg(
+            *[F.sum(F.col("__s")[d]).alias(f"s{d}") for d in range(dim_full)],
+            F.sum("__n").alias("n"),
+        )
+        for r in reduced.collect():  # n_centroids rows — bounded by design
+            if r["n"]:
+                m = np.array([r[f"s{d}"] for d in range(dim_full)]) / r["n"]
+                cents[r["__c"]] = m / np.linalg.norm(m)
+
     bc = spark.sparkContext.broadcast(cents)
 
     id_field = corpus.schema[id_col]

@@ -240,3 +240,25 @@ def test_sp_candidate(pipeline_output):
     assert len(sps) == 12
     assert all(s["plot_path"].startswith("data/2023-11-20/") for s in sps)
     assert all(s["candidate_id"] is not None for s in sps)
+
+
+def test_cand_obs_count_asset(spark):
+    """Parity for the reference's plot_cand_obs_count asset data
+    (reference assets.py:55-76): distributed counts, plotting gated."""
+    from ska_src_maltopuft_etl_spark.plans.meertrap.assets import (
+        cand_obs_counts,
+        plot_cand_obs_count,
+    )
+
+    obs = spark.createDataFrame([(1,), (1,), (2,)], "observation_id long")
+    cand = spark.createDataFrame([(i,) for i in range(5)], "id long")
+    assert cand_obs_counts(obs, cand) == {"num_obs": 2, "num_cands": 5}
+    # missing id column -> 0 observations (ColumnNotFoundError parity)
+    noid = spark.createDataFrame([(1,)], "other long")
+    assert cand_obs_counts(noid, cand)["num_obs"] == 0
+    try:
+        md = plot_cand_obs_count(obs, cand)
+    except ImportError:
+        pass  # matplotlib absent in this container — counts still covered
+    else:
+        assert md.startswith("![img](data:image/png;base64,")

@@ -85,3 +85,14 @@ def test_ivf_recall_vs_bruteforce(spark):
     from collections import Counter
     per_q = Counter(qid for qid, _ in ap)
     assert all(v == 5 for v in per_q.values())
+
+    # distributed Lloyd refinement (full-corpus passes) must not degrade
+    # recall vs the sample-trained centroids, and keeps the k-contract.
+    refined = similarity.cosine_topk_ivf(
+        q, c, "vec_id", "embedding", k=5,
+        n_centroids=4, n_probe=2, distributed_refine_iters=2,
+    )
+    rf = {(r["query_id"], r["neighbor_id"]) for r in refined.collect()}
+    assert len(ex & rf) / len(ex) >= recall - 0.1
+    per_q_r = Counter(qid for qid, _ in rf)
+    assert all(v == 5 for v in per_q_r.values())
