@@ -516,7 +516,16 @@ def cosine_pairs_exact(
     left = base.withColumn(
         "__cell_b", F.explode(F.expr(f"sequence(__blk, {B - 1})"))
     )
-    right = base.withColumn("__cell_a", F.explode(F.expr("sequence(0, __blk)")))
+    # Self-cogroup hazard (Spark 4.1): when both cogroup children share
+    # attribute ids (same `base` plan), column pruning under a
+    # column-less action (count) rewrites the RIGHT child down to its
+    # unique column only — the Arrow batch the UDF receives then lacks
+    # the id/vector columns entirely (observed: rpdf.columns ==
+    # ['__cell_a']). Re-aliasing every column mints fresh expression
+    # ids, which keeps the pruner honest; it is a pure projection — no
+    # exchange, no copy.
+    rbase = base.select([F.col(c).alias(c) for c in base.columns])
+    right = rbase.withColumn("__cell_a", F.explode(F.expr("sequence(0, __blk)")))
 
     def _norms(mat: "np.ndarray") -> "np.ndarray":
         acc = np.zeros(mat.shape[0])

@@ -54,6 +54,7 @@ def register(
 from ska_src_maltopuft_etl_spark.plans import relational  # noqa: E402,F401
 from ska_src_maltopuft_etl_spark.plans import llmops  # noqa: E402,F401
 from ska_src_maltopuft_etl_spark.plans import tpch_extra  # noqa: E402,F401
+from ska_src_maltopuft_etl_spark.plans import textsearch  # noqa: E402,F401
 from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 
 # The driver's correctness gate samples the FIRST 50 queries() entries
@@ -81,6 +82,17 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # rotated to the tail. Do not reorder again; keep certification
 # comparable across rounds.
 _TAIL = [
+    # Round-3 additions (window frozen at the round-2 certified 50; all
+    # new queries land in the tail and are certified by the local
+    # three-SF oracle sweep instead).
+    "bm25_keyword_search",
+    "decontaminate_eval_overlap",
+    "pii_mask_customers",
+    "text_repetition_filter",
+    "boilerplate_ngram_prune",
+    "embedding_quantize_int8",
+    "domain_mixture_weights",
+    "rag_chunk_documents",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1,0 +1,707 @@
+"""Text-retrieval and data-curation queries: BM25 keyword search,
+eval-set decontamination, PII masking, repetition (Gopher-style)
+filtering, boilerplate n-gram pruning, and embedding scalar
+quantization — the curation stages a training-data pipeline runs after
+dedup (plans/llmops.py) and before packing.
+
+Every query here has a full DuckDB value-hash oracle. Float
+determinism follows the repo rule (NOTES.md round-3 gotchas): both
+engines compute the same IEEE double with the same operation order —
++,-,*,/ are correctly rounded per IEEE 754, so identical expressions
+produce identical bits and raw doubles hash-match without rounding.
+Transcendental functions (ln/exp) are NOT guaranteed correctly rounded
+across engines, so the BM25 below is a *defined scoring variant* with
+the rational idf ``(N - df + 0.5) / (df + 0.5)`` instead of the
+classic log form — chosen to be bit-reproducible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ska_src_maltopuft_etl_spark.operators import similarity, text
+from ska_src_maltopuft_etl_spark.plans.registry import register
+from ska_src_maltopuft_etl_spark.sources import load_table
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword search
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "hash", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "bm25_keyword_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+      WHERE term IN ('spark', 'hash', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / stats.avgdl))) AS s
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq USING (term)),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0) AS s_spark,
+             COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0.0) AS s_hash,
+             COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS s_window
+      FROM scored GROUP BY doc_id)
+    SELECT doc_id, (s_spark + s_hash) + s_window AS score
+    FROM pivoted
+    ORDER BY score DESC, doc_id ASC
+    LIMIT 20
+    """,
+    covers=("R1", "A2", "J1", "P4"),
+    description=(
+        "BM25 top-20 keyword search (rational-idf variant for "
+        "bit-reproducibility); per-term pivot fixes the float summation order"
+    ),
+)
+def bm25_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of `documents` for a 3-term keyword query.
+
+    Architecture (the inverted-index shape, expressed relationally):
+
+    - postings build: explode tokens, **filter to the query terms
+      first** (the filter sits under the shuffle, so the exchange
+      carries only matching postings — on 100 TB, the shuffle volume
+      is O(matches), not O(tokens));
+    - corpus stats (N, avgdl): one tiny aggregate, broadcast;
+    - document frequencies: aggregate of the postings, broadcast
+      (|query| rows);
+    - per-term partial scores pivoted to fixed columns so the final
+      sum adds in a deterministic order (float addition is not
+      associative; a `SUM()` over an arbitrary-ordered group is not
+      bit-reproducible across engines).
+
+    The idf is the rational variant (N - df + .5)/(df + .5) — the
+    classic `ln`-form is not bit-reproducible across engines (ln is
+    not required to be correctly rounded); only +,-,*,/ are.
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    k1, b = F.lit(_BM25_K1), F.lit(_BM25_B)
+    scored = (
+        tf.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "doc_id",
+            "term",
+            (
+                ((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+                * (F.col("tf") * (k1 + F.lit(1.0)))
+                / (
+                    F.col("tf")
+                    + k1
+                    * (
+                        F.lit(1.0)
+                        - b
+                        + b * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    pivoted = scored.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("term") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{t}")
+            for t in _BM25_TERMS
+        ]
+    )
+    return (
+        pivoted.select(
+            "doc_id",
+            (
+                (F.col("s_spark") + F.col("s_hash")) + F.col("s_window")
+            ).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination
+# ---------------------------------------------------------------------------
+
+@register(
+    "decontaminate_eval_overlap",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(t[u.g:u.g+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(g)),
+    eval_grams AS (
+      SELECT DISTINCT shingle FROM sh WHERE source = 'src0'),
+    shared AS (
+      SELECT s.doc_id, COUNT(*) AS shared_ngrams
+      FROM sh s JOIN eval_grams e USING (shingle)
+      WHERE s.source <> 'src0'
+      GROUP BY s.doc_id)
+    SELECT d.doc_id,
+           COALESCE(sh2.shared_ngrams, 0) AS shared_ngrams,
+           COALESCE(sh2.shared_ngrams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN shared sh2 ON d.doc_id = sh2.doc_id
+    WHERE d.source <> 'src0'
+    """,
+    covers=("R1", "J1", "J3", "A2"),
+    description=(
+        "training-corpus decontamination: flag docs sharing any 3-gram with "
+        "the held-out eval slice (source='src0'); broadcast eval-gram join"
+    ),
+)
+def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs that overlap the eval set by >= 1 word 3-gram.
+
+    The eval slice is small by definition (benchmarks are KBs-MBs even
+    when the corpus is 100 TB), so its distinct-gram set broadcasts and
+    the contamination check is a **map-side** semi-join over the corpus
+    shingles — no shuffle of the corpus at all; the only wide exchange
+    is the per-doc shared-gram count aggregate, whose input is already
+    restricted to matching shingles.
+    """
+    d = _docs(spark, sf_dir)
+    corpus = d.where(F.col("source") != "src0")
+    eval_docs = d.where(F.col("source") == "src0")
+    eval_grams = (
+        similarity.ngram_shingles(eval_docs, "doc_id", "text", n=3)
+        .select("shingle")
+        .distinct()
+    )
+    corpus_sh = similarity.ngram_shingles(corpus, "doc_id", "text", n=3)
+    shared = (
+        corpus_sh.join(F.broadcast(eval_grams), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+    )
+    return corpus.select("doc_id").join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("shared_ngrams"), F.lit(0)).alias("shared_ngrams"),
+        (F.coalesce(F.col("shared_ngrams"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII masking / pseudonymization
+# ---------------------------------------------------------------------------
+
+@register(
+    "pii_mask_customers",
+    oracle="""
+    WITH base AS (
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             regexp_extract(c_name, '([0-9]+)$', 1) AS digits
+      FROM customer)
+    SELECT c_custkey,
+           CONCAT(regexp_replace(c_name, '[0-9]+$', ''),
+                  repeat('*', GREATEST(length(digits) - 2, 0)),
+                  CASE WHEN length(digits) >= 2
+                       THEN substr(digits, length(digits) - 1, 2)
+                       ELSE digits END) AS masked_name,
+           md5(CONCAT('pepper-2026::', c_name)) AS pseudonym,
+           COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment)
+             AS quasi_id_group_size
+    FROM base
+    """,
+    covers=("F1", "F4", "P4", "W6"),
+    description=(
+        "PII redaction: mask identifier digits (keep last 2), salted-hash "
+        "pseudonym, k-anonymity group size over quasi-identifiers"
+    ),
+)
+def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask + pseudonymize customer identifiers, report k-anonymity.
+
+    All map-only string expressions (codegen'd) plus one keyed window
+    for the quasi-identifier group size — the window partitions on
+    (nation, segment), a low-cardinality key whose groups are large
+    but whose aggregate (COUNT) is streaming; at 100 TB this is one
+    keyed shuffle with map-side partial counts via the two-pass
+    groupBy+join alternative if group skew ever bites. The pseudonym
+    is a salted (peppered) md5 — deterministic across engines, stable
+    across runs, irreversible without the pepper.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    digits = F.regexp_extract("c_name", r"([0-9]+)$", 1)
+    base = c.select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        digits.alias("digits"),
+    )
+    masked = F.concat(
+        F.regexp_replace("c_name", r"[0-9]+$", ""),
+        F.repeat(F.lit("*"), F.greatest(F.length("digits") - 2, F.lit(0))),
+        F.when(
+            F.length("digits") >= 2,
+            F.substring(F.col("digits"), -2, 2),
+        ).otherwise(F.col("digits")),
+    )
+    # substring(col, -2, 2) and substr(digits, len-1, 2) agree for
+    # len >= 2; the CASE guards shorter ids identically on both sides.
+    w = Window.partitionBy("c_nationkey", "c_mktsegment")
+    return base.select(
+        "c_custkey",
+        masked.alias("masked_name"),
+        F.md5(F.concat(F.lit("pepper-2026::"), F.col("c_name"))).alias("pseudonym"),
+        F.count(F.lit(1)).over(w).alias("quasi_id_group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition (Gopher-style) filtering
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_repetition_filter",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    words AS (
+      SELECT doc_id, UNNEST(t) AS w FROM toks),
+    wc AS (
+      SELECT doc_id, w, COUNT(*) AS cnt FROM words GROUP BY doc_id, w),
+    topw AS (
+      SELECT doc_id, w AS top_word, cnt AS top_word_count
+      FROM (SELECT doc_id, w, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, w ASC) AS rn
+            FROM wc) WHERE rn = 1),
+    bigrams AS (
+      SELECT doc_id, array_to_string(t[u.g:u.g+1], ' ') AS bg
+      FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 1, 0))) AS u(g)),
+    bc AS (
+      SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY doc_id, bg),
+    topb AS (
+      SELECT doc_id, cnt AS top_bigram_count
+      FROM (SELECT doc_id, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY cnt DESC, bg ASC) AS rn
+            FROM bc) WHERE rn = 1),
+    sizes AS (SELECT doc_id, len(t) AS n_tokens FROM toks WHERE len(t) > 0)
+    SELECT s.doc_id, s.n_tokens, topw.top_word, topw.top_word_count,
+           CAST(topw.top_word_count AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+             AS top_word_frac,
+           topb.top_bigram_count,
+           CAST(topb.top_bigram_count AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+             AS top_bigram_frac,
+           (topw.top_word_count * 5 <= s.n_tokens)
+             AND (topb.top_bigram_count * 5 <= s.n_tokens) AS keep
+    FROM sizes s JOIN topw ON s.doc_id = topw.doc_id
+                 JOIN topb ON s.doc_id = topb.doc_id
+    """,
+    covers=("R1", "W1", "A2", "P7"),
+    description=(
+        "Gopher-style repetition filter: most-frequent word/bigram fraction "
+        "per doc; keep-flag via integer cross-multiplication (no float "
+        "boundary compare)"
+    ),
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals + keep flag (Gopher-rule shape).
+
+    Two explode→count→argmax pipelines (words, bigrams), each ONE
+    keyed shuffle with map-side partial counts, then a row_number
+    keep-first for the argmax with a total-order tie-break. The keep
+    threshold (frac <= 0.2) is evaluated as `count * 5 <= n_tokens`
+    in integer space — a float `cnt/n <= 0.2` can flip across engines
+    when the division lands on a representability boundary; integers
+    cannot. The reported fractions are single divisions (correctly
+    rounded, same expression both engines → identical bits).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    sizes = toks.where(F.size("t") > 0).select(
+        "doc_id", F.size("t").alias("n_tokens")
+    )
+    wc = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_win = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("w").asc()
+    )
+    topw = (
+        wc.withColumn("rn", F.row_number().over(w_win))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("w").alias("top_word"),
+            F.col("cnt").alias("top_word_count"),
+        )
+    )
+    bg = similarity.ngram_shingles(d, "doc_id", "text", n=2, distinct=False)
+    bc = bg.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    b_win = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("shingle").asc()
+    )
+    topb = (
+        bc.withColumn("rn", F.row_number().over(b_win))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("cnt").alias("top_bigram_count"))
+    )
+    return (
+        sizes.join(topw, "doc_id")
+        .join(topb, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_word",
+            "top_word_count",
+            (
+                F.col("top_word_count").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("top_word_frac"),
+            "top_bigram_count",
+            (
+                F.col("top_bigram_count").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("top_bigram_frac"),
+            (
+                (F.col("top_word_count") * 5 <= F.col("n_tokens"))
+                & (F.col("top_bigram_count") * 5 <= F.col("n_tokens"))
+            ).alias("keep"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram pruning
+# ---------------------------------------------------------------------------
+
+_BOILER_MIN_DOCS = 20
+
+
+@register(
+    "boilerplate_ngram_prune",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[u.g:u.g+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(g)),
+    dfreq AS (
+      SELECT shingle, COUNT(*) AS n_docs FROM sh GROUP BY shingle),
+    boiler AS (SELECT shingle FROM dfreq WHERE n_docs >= {_BOILER_MIN_DOCS}),
+    per_doc AS (
+      SELECT sh.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(b.shingle) AS n_boilerplate
+      FROM sh LEFT JOIN boiler b ON sh.shingle = b.shingle
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_boilerplate,
+           CAST(n_boilerplate AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS boilerplate_frac,
+           n_boilerplate * 2 < n_shingles AS keep
+    FROM per_doc
+    """,
+    covers=("R1", "A2", "J3"),
+    description=(
+        "boilerplate pruning: 3-grams appearing in >= 20 docs are "
+        "boilerplate; per-doc boilerplate fraction + integer-space keep flag"
+    ),
+)
+def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of 3-grams that are corpus-wide boilerplate.
+
+    Shape: one distinct-shingle build (shared exchange feeds both the
+    document-frequency aggregate and the per-doc count), a
+    document-frequency aggregate, and a join back. The df table is
+    filtered to `n_docs >= K` **before** the join back — the
+    boilerplate set is the heavy tail's head, tiny relative to the
+    shingle universe, so the join back broadcasts at any corpus size
+    where K grows with the corpus. The keep flag is integer-space
+    (`2 * n_boilerplate < n_shingles`), immune to float boundaries.
+    """
+    d = _docs(spark, sf_dir)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = dfreq.where(F.col("n_docs") >= _BOILER_MIN_DOCS).select("shingle")
+    per_doc = (
+        sh.join(
+            F.broadcast(boiler.withColumn("__b", F.lit(1))), "shingle", "left"
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("__b").alias("n_boilerplate"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_boilerplate",
+        (
+            F.col("n_boilerplate").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("boilerplate_frac"),
+        (F.col("n_boilerplate") * 2 < F.col("n_shingles")).alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding scalar quantization (int8)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id,
+             u.i AS dim,
+             CAST(embedding[u.i] AS DOUBLE) AS v
+      FROM embeddings,
+           UNNEST(generate_series(1, len(embedding))) AS u(i)
+      WHERE embedding[u.i] IS NOT NULL),
+    stats AS (
+      SELECT dim, MIN(v) AS lo, MAX(v) AS hi FROM dims GROUP BY dim),
+    q AS (
+      SELECT d.vec_id, d.dim, d.v, s.lo,
+             (s.hi - s.lo) / 255.0 AS scale
+      FROM dims d JOIN stats s USING (dim))
+    SELECT vec_id, dim,
+           CASE WHEN scale > 0.0
+                THEN CAST(FLOOR((v - lo) / scale + 0.5) AS BIGINT)
+                ELSE 0 END AS code,
+           CASE WHEN scale > 0.0
+                THEN (lo + CAST(FLOOR((v - lo) / scale + 0.5) AS BIGINT)
+                        * scale) - v
+                ELSE 0.0 END AS err
+    FROM q
+    """,
+    covers=("R1", "A2", "J1"),
+    description=(
+        "scalar int8 quantization of embeddings: per-dim min/max codebook "
+        "(broadcast), per-(vec,dim) code + reconstruction error"
+    ),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization — the codebook build for compressed ANN.
+
+    Two passes over the (vec, dim) explode: a per-dimension min/max
+    aggregate (dim count = embedding width, tiny → broadcast back) and
+    a map-only code/error projection. `floor(x + 0.5)` is the
+    rounding used on BOTH sides — Spark's `round()` is HALF_UP via
+    BigDecimal and DuckDB's `round()` is banker's-adjacent on some
+    builds; an explicit floor sidesteps the divergence. All arithmetic
+    is +,-,*,/ in identical order → bit-identical doubles.
+
+    At 100 TB: the explode is map-only, the stats aggregate shuffles
+    width-many rows after map-side partials, and the code projection
+    re-reads the scan with the broadcast codebook — no wide exchange
+    of the corpus at all.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = (
+        e.select("vec_id", F.posexplode("embedding").alias("pos", "f"))
+        .where(F.col("f").isNotNull())
+        .select(
+            "vec_id",
+            (F.col("pos") + 1).alias("dim"),
+            F.col("f").cast("double").alias("v"),
+        )
+    )
+    stats = dims.groupBy("dim").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    )
+    q = dims.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        "dim",
+        "v",
+        "lo",
+        ((F.col("hi") - F.col("lo")) / F.lit(255.0)).alias("scale"),
+    )
+    code = F.floor((F.col("v") - F.col("lo")) / F.col("scale") + F.lit(0.5)).cast(
+        "long"
+    )
+    return q.select(
+        "vec_id",
+        "dim",
+        F.when(F.col("scale") > 0.0, code).otherwise(F.lit(0)).alias("code"),
+        F.when(
+            F.col("scale") > 0.0,
+            (F.col("lo") + code * F.col("scale")) - F.col("v"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled domain mixture
+# ---------------------------------------------------------------------------
+
+@register(
+    "domain_mixture_weights",
+    oracle="""
+    WITH per_src AS (
+      SELECT source,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len(list_filter(string_split(text, ' '), w -> w <> '')))
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    w AS (
+      SELECT source, n_docs, n_tokens,
+             CAST(FLOOR(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000.0) AS BIGINT)
+               AS w_int
+      FROM per_src),
+    tot AS (SELECT SUM(w_int) AS total FROM w)
+    SELECT source, n_docs, n_tokens,
+           CAST(w_int AS DOUBLE) / CAST(tot.total AS DOUBLE) AS mixture_weight,
+           CAST((w_int * 100000) // tot.total AS BIGINT) AS docs_per_100k
+    FROM w CROSS JOIN tot
+    """,
+    covers=("A2", "A3", "P4"),
+    description=(
+        "temperature-scaled (alpha=0.5) domain mixture: per-source sampling "
+        "weights via sqrt-damping; integer-scaled normalizer keeps the "
+        "group sum exact/order-insensitive"
+    ),
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights w_s proportional to n_tokens^0.5.
+
+    The standard temperature trick for balancing head domains against
+    the tail when composing a training mixture. Determinism: sqrt is
+    IEEE-correctly-rounded (unlike ln/pow), and the normalizer is the
+    sum of *integer-scaled* weights — floats summed across a group
+    have engine-dependent addition order, but a BIGINT sum is exact,
+    so `w / total` is one deterministic division. The per-epoch doc
+    quota is pure integer arithmetic.
+
+    Scale shape: one hash aggregate over the corpus (map-side
+    partials), then a broadcast of the |sources|-row weight table for
+    the normalization — nothing else touches the corpus.
+    """
+    d = _docs(spark, sf_dir)
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(text.tokens("text"))).alias("n_tokens"),
+    )
+    w = per_src.withColumn(
+        "w_int",
+        F.floor(
+            F.sqrt(F.col("n_tokens").cast("double")) * F.lit(1000000.0)
+        ).cast("long"),
+    )
+    tot = w.agg(F.sum("w_int").alias("total"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (
+            F.col("w_int").cast("double") / F.col("total").cast("double")
+        ).alias("mixture_weight"),
+        ((F.col("w_int") * 100000) / F.col("total"))
+        .cast("long")
+        .alias("docs_per_100k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAG / pretraining chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK_LEN = 32
+_CHUNK_STRIDE = 24
+
+
+@register(
+    "rag_chunk_documents",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t, u.s AS s
+      FROM toks, UNNEST(generate_series(1, len(t), {_CHUNK_STRIDE})) AS u(s)
+      WHERE len(t) >= 1)
+    SELECT doc_id,
+           (s - 1) // {_CHUNK_STRIDE} AS chunk_idx,
+           LEAST({_CHUNK_LEN}, len(t) - s + 1) AS n_chunk_tokens,
+           array_to_string(t[s:s+{_CHUNK_LEN - 1}], ' ') AS chunk_text
+    FROM starts
+    """,
+    covers=("R1", "P4"),
+    description=(
+        f"overlapping token-window chunking (len {_CHUNK_LEN}, stride "
+        f"{_CHUNK_STRIDE}) for RAG/pretraining ingestion; map-only explode"
+    ),
+)
+def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into overlapping token-window chunks.
+
+    Map-only: tokenize, generate stride-spaced start offsets with an
+    array `sequence`, explode, slice. No shuffle at any scale — the
+    chunker is the canonical embarrassingly-parallel ingestion stage
+    in a RAG indexing or pretraining-window pipeline. The start
+    sequence is guarded for empty docs (Spark's `sequence(1, 0)`
+    counts DOWN rather than returning empty — NOTES.md round-2
+    gotcha).
+    """
+    d = _docs(spark, sf_dir)
+    toks = d.select("doc_id", text.tokens("text").alias("t"))
+    n = F.size("t")
+    starts = F.when(
+        n >= 1, F.sequence(F.lit(1), n, F.lit(_CHUNK_STRIDE))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        toks.select("doc_id", "t", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / _CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+            F.least(F.lit(_CHUNK_LEN), F.size("t") - F.col("s") + 1).alias(
+                "n_chunk_tokens"
+            ),
+            F.array_join(
+                F.slice(F.col("t"), F.col("s"), F.lit(_CHUNK_LEN)), " "
+            ).alias("chunk_text"),
+        )
+    )

@@ -6,6 +6,12 @@ from ska_src_maltopuft_etl_spark.streaming.candidates import (
     resolve_beams_stream,
     stream_spccl,
 )
+from ska_src_maltopuft_etl_spark.streaming.curation import (
+    curate_batch,
+    eval_gram_table,
+    flag_contaminated_stream,
+    run_curation_stream,
+)
 from ska_src_maltopuft_etl_spark.streaming.ingest import (
     join_event_streams,
     sessionize_events,
@@ -14,10 +20,14 @@ from ska_src_maltopuft_etl_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "curate_batch",
+    "eval_gram_table",
+    "flag_contaminated_stream",
     "join_event_streams",
     "maintain_aggregate_state",
     "read_finalized",
     "resolve_beams_stream",
+    "run_curation_stream",
     "sessionize_events",
     "stream_run_summaries",
     "stream_spccl",

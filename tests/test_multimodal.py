@@ -96,3 +96,21 @@ def test_ivf_recall_vs_bruteforce(spark):
     assert len(ex & rf) / len(ex) >= recall - 0.1
     per_q_r = Counter(qid for qid, _ in rf)
     assert all(v == 5 for v in per_q_r.values())
+
+
+def test_cosine_pairs_exact_survives_column_pruning(spark):
+    """Regression: self-cogroup + a column-less action (count) made the
+    optimizer prune the RIGHT cogroup child down to its unique column,
+    so the kernel's Arrow batch arrived without the id/vector columns
+    (KeyError in bench.py, invisible under collect-based oracle runs).
+    The operator now re-aliases the right side; count() and collect()
+    must agree."""
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = similarity.cosine_pairs_exact(
+        e, "vec_id", "embedding", threshold=0.3
+    )
+    n_count = pairs.count()  # the action that used to crash
+    n_collect = len(pairs.collect())
+    assert n_count == n_collect and n_count > 0

@@ -60,6 +60,46 @@ def test_keymap_remap_is_broadcast(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bm25_broadcasts_stats_and_prunes_scan(spark):
+    plan = plan_of(spark, "bm25_keyword_search")
+    # corpus stats (1 row) and document frequencies (|query| rows) are
+    # broadcast — the corpus is never shuffled for them
+    assert plan.count("BroadcastExchange") >= 2
+    # the scan reads only the two columns the query touches
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read and "source" not in read
+
+
+def test_decontaminate_broadcasts_eval_grams(spark):
+    plan = plan_of(spark, "decontaminate_eval_overlap")
+    # the eval-gram set is broadcast: contamination check is map-side
+    assert "BroadcastHashJoin" in plan
+    # the source partition filter reaches the parquet scan
+    assert "PushedFilters" in plan and "source" in plan.split("PushedFilters", 1)[1][:300]
+
+
+def test_boilerplate_broadcasts_boiler_set(spark):
+    plan = plan_of(spark, "boilerplate_ngram_prune")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_quantize_broadcasts_codebook(spark):
+    plan = plan_of(spark, "embedding_quantize_int8")
+    # per-dim codebook (width rows) broadcasts; the corpus explode is
+    # map-only on its side of the join
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_mask_single_exchange(spark):
+    plan = plan_of(spark, "pii_mask_customers")
+    # one keyed shuffle for the quasi-identifier window, nothing else
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchange == 1, plan
+
+
 def test_language_id_no_shuffle_before_scan_output(spark):
     plan = plan_of(spark, "text_language_id")
     # map-only: no Exchange at all

@@ -255,3 +255,71 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT page, target FROM ss_join").collect()
     assert [(r["page"], r["target"]) for r in rows] == [("a", "x")]
+
+
+def test_streaming_curation_stream_static_and_foreachbatch(spark, tmp_path):
+    """Stream-static decontamination: detection via a continuous
+    stream-static join, filtering via foreachBatch (batch semantics per
+    micro-batch); the curated output must equal the batch curate_batch
+    over the same files."""
+    import pandas as pd
+
+    from ska_src_maltopuft_etl_spark.streaming import (
+        curate_batch,
+        eval_gram_table,
+        flag_contaminated_stream,
+        run_curation_stream,
+    )
+
+    data = tmp_path / "docs_in"
+    data.mkdir()
+    rows = [
+        # clean, low repetition
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        # contaminated: contains the eval 3-gram "secret eval phrase"
+        (2, "alpha secret eval phrase beta gamma delta epsilon"),
+        # repetitive: one word dominates
+        (3, "spam spam spam spam spam spam spam ham"),
+        (4, "one two three four five six seven eight nine ten"),
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+        data / "part-0.parquet"
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, "the secret eval phrase here")], ["doc_id", "text"]
+    )
+    eval_grams = eval_gram_table(eval_docs, "doc_id", "text", n=3)
+
+    static_docs = spark.read.parquet(str(data))
+    doc_stream = spark.readStream.schema(static_docs.schema).parquet(str(data))
+    assert doc_stream.isStreaming
+
+    # continuous half: detection events via stream-static join
+    flagged = flag_contaminated_stream(doc_stream, eval_grams)
+    q1 = (
+        flagged.writeStream.format("memory")
+        .queryName("contam_events")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination(120)
+    events = spark.sql("SELECT * FROM contam_events").collect()
+    assert {r["doc_id"] for r in events} == {2}
+    assert {r["shingle"] for r in events} == {"secret eval phrase"}
+
+    # filtering half: foreachBatch curation == batch curation
+    out: list = []
+    writer = run_curation_stream(
+        doc_stream,
+        eval_grams,
+        sink=lambda df, epoch: out.extend(df.collect()),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2 = writer.start()
+    q2.awaitTermination(120)
+    stream_ids = sorted(r["doc_id"] for r in out)
+    batch_ids = sorted(
+        r["doc_id"] for r in curate_batch(static_docs, eval_grams).collect()
+    )
+    assert stream_ids == batch_ids == [1, 4]
