@@ -246,3 +246,67 @@ def dedup_clusters(
     return cc.withColumn(
         "is_canonical", (F.col("node") == F.col("component"))
     )
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 5,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """Deterministic integer fixed-point PageRank: (node, rank_scaled).
+
+    Ranks are maintained as scaled BIGINTs (initial rank = ``scale``)
+    and every operation is integer arithmetic: a node's contribution
+    per round is ``(rank * damping_pct) DIV (100 * outdeg)`` and the
+    teleport term is ``(scale * (100 - damping_pct)) DIV 100``. Float
+    PageRank is NOT reproducible across engines (the inflow sum's
+    addition order is engine-dependent); integer sums are exact and
+    order-insensitive, so two engines running this recurrence agree
+    bit-for-bit — the same trick the domain-mixture normalizer uses.
+    The DIV floor loses at most ``outdeg`` scale-units of mass per
+    node per round (bounded, deterministic).
+
+    Each iteration is one equi-join of ranks onto edge sources plus
+    one hash aggregate over destinations — the same per-round shuffle
+    shape as :func:`connected_components`, and like it the loop keeps
+    no driver-side graph state. For iteration counts beyond ~10, cut
+    lineage per round with ``localCheckpoint`` (the plan tree depth
+    grows linearly with ``iters`` otherwise); at the default 5 rounds
+    the optimizer handles the static DAG fine.
+
+    Dangling nodes (no out-edges) keep receiving inflow but
+    redistribute nothing — their mass drains (standard simplification;
+    symmetrize the edge set if you need mass conservation).
+    """
+    teleport = (scale * (100 - damping_pct)) // 100
+    e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
+    out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    nodes = (
+        e.select(F.col("__src").alias("node"))
+        .union(e.select(F.col("__dst").alias("node")))
+        .distinct()
+    )
+    ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
+    for _ in range(iters):
+        inflow = (
+            e.join(ranks, e["__src"] == ranks["node"])
+            .join(out_deg, "__src")
+            .select(
+                F.col("__dst").alias("node"),
+                F.expr(
+                    f"(rank_scaled * {damping_pct}) DIV (100 * __outdeg)"
+                ).alias("__contrib"),
+            )
+            .groupBy("node")
+            .agg(F.sum("__contrib").alias("__inflow"))
+        )
+        ranks = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(teleport) + F.coalesce(F.col("__inflow"), F.lit(0)))
+            .cast("long")
+            .alias("rank_scaled"),
+        )
+    return ranks

@@ -93,6 +93,7 @@ _TAIL = [
     "embedding_quantize_int8",
     "domain_mixture_weights",
     "rag_chunk_documents",
+    "pagerank_supply_graph",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

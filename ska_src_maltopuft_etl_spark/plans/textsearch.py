@@ -705,3 +705,78 @@ def rag_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk_text"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics: fixed-point PageRank
+# ---------------------------------------------------------------------------
+
+def _pagerank_oracle(iters: int = 5, scale: int = 10**9) -> str:
+    teleport = (scale * 15) // 100
+    ctes = [
+        """pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem)""",
+        "edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs)",
+        "outdeg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY a)",
+        "nodes AS (SELECT DISTINCT a AS node FROM edges)",
+        f"pr0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_scaled FROM nodes)",
+    ]
+    for k in range(1, iters + 1):
+        ctes.append(
+            f"""inf{k} AS (
+      SELECT e.b AS node,
+             CAST(SUM((p.rank_scaled * 85) // (100 * o.outdeg)) AS BIGINT)
+               AS inflow
+      FROM edges e
+      JOIN pr{k - 1} p ON e.a = p.node
+      JOIN outdeg o ON o.a = e.a
+      GROUP BY e.b)"""
+        )
+        ctes.append(
+            f"""pr{k} AS (
+      SELECT n.node,
+             CAST({teleport} + COALESCE(i.inflow, 0) AS BIGINT) AS rank_scaled
+      FROM nodes n LEFT JOIN inf{k} i ON i.node = n.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node, rank_scaled FROM pr{iters}
+    ORDER BY rank_scaled DESC, node ASC LIMIT 20"""
+    )
+
+
+@register(
+    "pagerank_supply_graph",
+    oracle=_pagerank_oracle(),
+    covers=("J1", "A2", "W6"),
+    description=(
+        "fixed-point integer PageRank (5 iterations, damping 0.85) over the "
+        "part-supplier bipartite graph; integer arithmetic makes the "
+        "iterative float-free recurrence bit-reproducible across engines"
+    ),
+)
+def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 PageRank nodes of the symmetrized part-supplier graph.
+
+    Node encoding: part p -> 2p, supplier s -> 2s+1 (disjoint integer
+    namespaces, no string concat in the join keys). Edges are the
+    distinct (part, supplier) supply pairs from lineitem, symmetrized
+    — every node then has out-edges, so no dangling-mass drain. See
+    :func:`ska_src_maltopuft_etl_spark.operators.graph.pagerank_fixed_point`
+    for the determinism and per-round shuffle analysis.
+    """
+    from ska_src_maltopuft_etl_spark.operators import graph
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    ranks = graph.pagerank_fixed_point(edges, "a", "b", iters=5)
+    return ranks.orderBy(
+        F.col("rank_scaled").desc(), F.col("node").asc()
+    ).limit(20)

@@ -171,3 +171,33 @@ def test_near_dup_index_incremental(spark, tmp_path):
     assert idx.update(b2) == 2
     # index now holds 4 docs' bands
     assert spark.read.parquet(path).select("doc_id").distinct().count() == 4
+
+
+def test_pagerank_fixed_point_known_graph(spark):
+    """3-node graph with a hand-checkable python model: ranks must match
+    the exact integer recurrence, sum close to total mass (floor loss
+    bounded), and the hub must outrank the leaves."""
+    from ska_src_maltopuft_etl_spark.operators.graph import pagerank_fixed_point
+
+    # star: leaves 1,2 -> hub 0; hub -> leaf 1 (so everyone has outdeg)
+    edges = spark.createDataFrame(
+        [(1, 0), (2, 0), (0, 1)], ["src", "dst"]
+    )
+    scale, iters = 10**9, 5
+    got = {
+        r["node"]: r["rank_scaled"]
+        for r in pagerank_fixed_point(edges, iters=iters, scale=scale).collect()
+    }
+
+    # exact python model of the same integer recurrence
+    teleport = (scale * 15) // 100
+    outdeg = {1: 1, 2: 1, 0: 1}
+    ranks = {0: scale, 1: scale, 2: scale}
+    for _ in range(iters):
+        inflow = {0: 0, 1: 0, 2: 0}
+        for s, d in [(1, 0), (2, 0), (0, 1)]:
+            inflow[d] += (ranks[s] * 85) // (100 * outdeg[s])
+        ranks = {n: teleport + inflow[n] for n in ranks}
+    assert got == ranks
+    assert got[0] > got[1] > got[2]  # hub > fed leaf > teleport-only leaf
+    assert got[2] == teleport
