@@ -282,18 +282,29 @@ def pagerank_fixed_point(
     symmetrize the edge set if you need mass conservation).
     """
     teleport = (scale * (100 - damping_pct)) // 100
+    # The edge table, out-degrees and node set are loop-invariant but
+    # referenced in EVERY iteration: without materialization the plan
+    # re-derives them (re-reading the source) once per round — 32
+    # parquet scans / 48 exchanges for 5 rounds over a derived edge
+    # set. localCheckpoint each once (same lineage-cut trick as
+    # connected_components); every round then joins the materialized
+    # frames and the plan holds one scan set total.
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
+    # (src, dst, outdeg) — the outdeg join is loop-invariant too, so
+    # fold it into the materialized edge table instead of re-joining
+    # it every round.
+    e_deg = e.join(out_deg, "__src").localCheckpoint()
     nodes = (
         e.select(F.col("__src").alias("node"))
         .union(e.select(F.col("__dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
     for _ in range(iters):
         inflow = (
-            e.join(ranks, e["__src"] == ranks["node"])
-            .join(out_deg, "__src")
+            e_deg.join(ranks, e_deg["__src"] == ranks["node"])
             .select(
                 F.col("__dst").alias("node"),
                 F.expr(
