@@ -1,3 +1,8 @@
+from ska_src_maltopuft_etl_spark.sinks.inverted_index import (
+    build_inverted_index,
+    search_index,
+    term_bucket_py,
+)
 from ska_src_maltopuft_etl_spark.sinks.scd2 import scd2_apply
 from ska_src_maltopuft_etl_spark.sinks.snapshots import (
     read_snapshot,
@@ -21,6 +26,9 @@ from ska_src_maltopuft_etl_spark.sinks.relational import (
 
 __all__ = [
     "ATNF_TARGETS",
+    "build_inverted_index",
+    "search_index",
+    "term_bucket_py",
     "file_skipping_stats",
     "read_snapshot",
     "rollback_snapshot",

@@ -1,0 +1,71 @@
+"""Inverted-index sink: build, partition-pruned search, and bit-parity
+with the ad-hoc BM25 registry query."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ska_src_maltopuft_etl_spark.sinks.inverted_index import (
+    build_inverted_index,
+    search_index,
+    term_bucket_py,
+)
+from ska_src_maltopuft_etl_spark.sources import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_bucket_functions_agree(spark):
+    terms = ["spark", "hash", "window", "merge", "the", "Ünïcode"]
+    rows = (
+        spark.createDataFrame([(t,) for t in terms], ["term"])
+        .select(
+            "term",
+            (
+                F.conv(F.substring(F.md5("term"), 1, 8), 16, 10).cast("long") % 64
+            ).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert r["b"] == term_bucket_py(r["term"], 64), r["term"]
+
+
+def test_search_matches_adhoc_bm25_bit_for_bit(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path)
+
+    got = search_index(spark, path, ["spark", "hash", "window"], k=20).collect()
+
+    from ska_src_maltopuft_etl_spark.plans import QUERIES
+
+    want = QUERIES["bm25_keyword_search"].fn(spark, SF).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
+
+
+def test_search_prunes_partitions(spark, tmp_path):
+    import contextlib
+    import io
+
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs, path, n_buckets=64)
+
+    terms = ["spark", "hash"]
+    buckets = sorted({term_bucket_py(t, 64) for t in terms})
+    pruned = spark.read.parquet(f"{path}/postings").where(
+        F.col("term_bucket").isin(buckets)
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    plan = buf.getvalue()
+    # the bucket predicate is a PARTITION filter (directory-level
+    # pruning at file listing), not a row filter after the scan
+    pf_line = [l for l in plan.splitlines() if "PartitionFilters" in l][0]
+    assert "term_bucket" in pf_line
+    # and the pruned read returns exactly the buckets' rows
+    assert pruned.select("term_bucket").distinct().count() == len(buckets)
