@@ -2,6 +2,7 @@ from ska_src_maltopuft_etl_spark.operators.joins import (
     CardinalityError,
     asof_join_backward,
     interval_join,
+    interval_join_bucketed,
     remap_keys,
     validated_join,
 )
@@ -57,6 +58,7 @@ __all__ = [
     "dedup_clusters",
     "dedup_keep_first",
     "interval_join",
+    "interval_join_bucketed",
     "remap_keys",
     "surrogate_key",
     "validated_join",

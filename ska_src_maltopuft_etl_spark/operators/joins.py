@@ -204,6 +204,92 @@ def interval_join(
     return joined.select(*out_cols, *out_rcols)
 
 
+def interval_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_start: str,
+    right_end: str,
+    bucket_width_s: int = 86400,
+    by: Sequence[str] = (),
+    how: Literal["inner", "left"] = "left",
+    tie_break: str | None = None,
+    tie_break_desc: bool = False,
+    right_prefix: str = "",
+) -> DataFrame:
+    """:func:`interval_join` for the case neither side is broadcastable.
+
+    The plain operator's no-``by``-keys path plans as a
+    BroadcastNestedLoopJoin — correct, but only viable while the
+    interval side broadcasts; with ``by`` keys it shuffles on those
+    keys alone, which degenerates when a key is hot (one user's whole
+    history in one task). This variant makes the TIME axis part of the
+    shuffle key: timestamps map to ``floor(epoch / width)`` buckets,
+    each interval explodes to the buckets it covers, and the join is a
+    plain equi-join on (by..., bucket) with the containment predicate
+    as a residual. A left row has exactly ONE bucket, so it meets each
+    containing interval exactly once — no post-join dedup.
+
+    Cost model: the explode replicates each interval ``span/width + 1``
+    times — pick ``bucket_width_s`` near the typical interval span so
+    the factor is ~2. Both sides then shuffle uniformly (hot keys
+    spread across their time buckets), which is the 100 TB shape: at
+    that size the time axis, not the key axis, carries the
+    cardinality. Tie-break semantics match :func:`interval_join`.
+    """
+    by = list(by)
+    rcols = [c for c in right.columns if c not in by]
+    renamed = right
+    if right_prefix:
+        for c in rcols:
+            renamed = renamed.withColumnRenamed(c, f"{right_prefix}{c}")
+    rstart = f"{right_prefix}{right_start}"
+    rend = f"{right_prefix}{right_end}"
+    width_us = int(bucket_width_s) * 1_000_000
+
+    out_cols = list(left.columns)
+    left = left.withColumn("__iv_rowid", F.monotonically_increasing_id())
+    lb = left.withColumn(
+        "__iv_bucket", F.floor(F.unix_micros(F.col(left_ts)) / F.lit(width_us))
+    )
+    rb = renamed.withColumn(
+        "__iv_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(rstart)) / F.lit(width_us)),
+                F.floor(F.unix_micros(F.col(rend)) / F.lit(width_us)),
+            )
+        ),
+    )
+    cond = (
+        (lb["__iv_bucket"] == rb["__iv_bucket"])
+        & (rb[rstart] <= lb[left_ts])
+        & (rb[rend] >= lb[left_ts])
+    )
+    for k in by:
+        cond = cond & (lb[k] == rb[k])
+    joined = lb.join(rb, cond, how)
+    joined = joined.drop(rb["__iv_bucket"]).drop(lb["__iv_bucket"])
+    for k in by:
+        joined = joined.drop(rb[k])
+
+    if tie_break is not None:
+        tb = f"{right_prefix}{tie_break}"
+        order = (
+            F.col(tb).desc_nulls_last()
+            if tie_break_desc
+            else F.col(tb).asc_nulls_last()
+        )
+        w = Window.partitionBy(F.col("__iv_rowid")).orderBy(order)
+        joined = (
+            joined.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    out_rcols = [f"{right_prefix}{c}" for c in rcols]
+    return joined.select(*out_cols, *out_rcols)
+
+
 # ---------------------------------------------------------------------------
 # Cardinality-validated equi-join (J1-J4)
 # ---------------------------------------------------------------------------

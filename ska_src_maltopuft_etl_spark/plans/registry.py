@@ -94,6 +94,7 @@ _TAIL = [
     "domain_mixture_weights",
     "rag_chunk_documents",
     "pagerank_supply_graph",
+    "interval_join_bucketed_sessions",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -17,6 +17,7 @@ from ska_src_maltopuft_etl_spark.operators import (
     asof_join_backward,
     dedup_keep_first,
     interval_join,
+    interval_join_bucketed,
     remap_keys,
     surrogate_key,
     validated_join,
@@ -344,6 +345,51 @@ def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break="session_start",
         tie_break_desc=True,
         broadcast_right=False,
+    )
+    return out.select(
+        "event_id", F.unix_micros("session_start").alias("session_start_us")
+    )
+
+
+@register(
+    "interval_join_bucketed_sessions",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT epoch_us(MAX(s.ts)) FROM events s
+            WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+              AND s.ts <= e.ts AND e.ts <= s.ts + INTERVAL 3 DAY) AS session_start_us
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+    covers=("J5", "P5", "R1"),
+    description=(
+        "bucketized interval join (time axis in the shuffle key): same "
+        "semantics + oracle as interval_join_sessions, but a plain "
+        "equi-join on (user, day-bucket) with the containment residual — "
+        "the non-broadcastable / hot-key formulation"
+    ),
+)
+def interval_join_bucketed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    )
+    out = interval_join_bucketed(
+        clicks,
+        sessions,
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        bucket_width_s=86400,
+        by=["user_id"],
+        how="left",
+        tie_break="session_start",
+        tie_break_desc=True,
     )
     return out.select(
         "event_id", F.unix_micros("session_start").alias("session_start_us")

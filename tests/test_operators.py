@@ -261,3 +261,48 @@ def test_incremental_agg_matches_full_recompute(spark):
             else:
                 assert got[g][k] == want[g][k]
     assert got["c"]["n_rows"] == 2 and got["c"]["value_mean"] == 0.0
+
+
+def test_interval_join_bucketed_matches_plain(spark):
+    """The bucketized formulation must produce exactly the plain
+    interval_join result (same fixture as interval_join_sessions),
+    and its plan must be an equi-join — no BroadcastNestedLoop."""
+    import contextlib
+    import io
+
+    from ska_src_maltopuft_etl_spark.operators.joins import (
+        interval_join,
+        interval_join_bucketed,
+    )
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    )
+    kwargs = dict(
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        by=["user_id"],
+        how="left",
+        tie_break="session_start",
+        tie_break_desc=True,
+    )
+    plain = interval_join(clicks, sessions, broadcast_right=False, **kwargs)
+    bucketed = interval_join_bucketed(
+        clicks, sessions, bucket_width_s=86400, **kwargs
+    )
+    key = lambda r: (r["event_id"], r["session_start"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, bucketed.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bucketed.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()
