@@ -1,6 +1,8 @@
 from ska_src_maltopuft_etl_spark.operators.joins import (
     CardinalityError,
+    asof_join,
     asof_join_backward,
+    asof_join_forward,
     interval_join,
     interval_join_bucketed,
     remap_keys,
@@ -53,7 +55,9 @@ __all__ = [
     "quality_report",
     "weighted_sample_per_group",
     "weighted_sample_topk",
+    "asof_join",
     "asof_join_backward",
+    "asof_join_forward",
     "connected_components",
     "dedup_clusters",
     "dedup_keep_first",

@@ -41,7 +41,7 @@ class CardinalityError(ValueError):
 # As-of join (J6)
 # ---------------------------------------------------------------------------
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     left_on: str,
@@ -51,9 +51,14 @@ def asof_join_backward(
     allow_exact_matches: bool = True,
     right_prefix: str = "",
     right_tiebreak: Sequence[str] = (),
+    direction: Literal["backward", "forward"] = "backward",
 ) -> DataFrame:
-    """For each left row, attach the right row with the greatest
-    ``right_on`` <= ``left_on`` within the same ``by`` group.
+    """For each left row, attach the nearest right row within the same
+    ``by`` group: the greatest ``right_on`` <= ``left_on`` (backward,
+    the default) or the smallest ``right_on`` >= ``left_on`` (forward —
+    e.g. "next maintenance window after this candidate"). Forward is
+    the same one-shuffle union+window plan with the time order
+    reversed; every other knob behaves identically.
 
     Implementation ("union trick", one shuffle, no row explosion):
 
@@ -105,7 +110,12 @@ def asof_join_backward(
 
     unioned = r_tagged.unionByName(l_tagged)
     w = Window.partitionBy(*[F.col(c) for c in by]) if by else Window.partitionBy()
-    order = [F.col("__t"), F.col("__m")]
+    # forward = backward with the time axis reversed: process greater
+    # times first, so "last right seen so far" is the SMALLEST
+    # right_on >= left_on. The marker still orders right before left
+    # at equal times (exact-match semantics unchanged).
+    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    order = [t_order, F.col("__m")]
     # equal-time right rows: greatest tiebreak sorts last → wins last().
     order += [F.col(f"__rpayload.{c}").asc_nulls_first() for c in right_tiebreak]
     w = w.orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
@@ -125,15 +135,33 @@ def asof_join_backward(
 
     out = matched.where(F.col("__lpayload").isNotNull())
     if tolerance_seconds is not None:
-        within = (
+        gap = (
             F.col("__t").cast("double") - F.col("__match.__rt").cast("double")
-        ) <= F.lit(float(tolerance_seconds))
-        out = out.withColumn("__match", F.when(within, F.col("__match")))
+            if direction == "backward"
+            else F.col("__match.__rt").cast("double") - F.col("__t").cast("double")
+        )
+        out = out.withColumn(
+            "__match",
+            F.when(gap <= F.lit(float(tolerance_seconds)), F.col("__match")),
+        )
 
     sel: list[Column] = [F.col(f"__lpayload.{c}").alias(c) for c in lcols]
     sel += [F.col(c) for c in by if c not in lcols]
     sel += [F.col(f"__match.__rp.{c}").alias(out_rcols[c]) for c in rcols]
     return out.select(*sel)
+
+
+def asof_join_backward(*args, **kwargs) -> DataFrame:
+    """Alias for :func:`asof_join` with ``direction="backward"`` (the
+    reference's semantics, meertrap candidate/transform.py:129-160)."""
+    kwargs["direction"] = "backward"
+    return asof_join(*args, **kwargs)
+
+
+def asof_join_forward(*args, **kwargs) -> DataFrame:
+    """Alias for :func:`asof_join` with ``direction="forward"``."""
+    kwargs["direction"] = "forward"
+    return asof_join(*args, **kwargs)
 
 
 # ---------------------------------------------------------------------------

@@ -95,6 +95,7 @@ _TAIL = [
     "rag_chunk_documents",
     "pagerank_supply_graph",
     "interval_join_bucketed_sessions",
+    "asof_join_forward_next_action",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

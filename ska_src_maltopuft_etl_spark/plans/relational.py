@@ -16,6 +16,7 @@ from ska_src_maltopuft_etl_spark import functions as K
 from ska_src_maltopuft_etl_spark.operators import (
     asof_join_backward,
     dedup_keep_first,
+    asof_join_forward,
     interval_join,
     interval_join_bucketed,
     remap_keys,
@@ -428,6 +429,48 @@ def asof_join_purchase_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "event_id", "purchase_event_id", F.unix_micros("pts").alias("purchase_ts_us")
+    )
+
+
+@register(
+    "asof_join_forward_next_action",
+    oracle="""
+    WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+         pur AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         ranked AS (
+           SELECT e.event_id, p.event_id AS next_purchase_event_id,
+                  epoch_us(p.ts) AS next_purchase_ts_us,
+                  ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                     ORDER BY p.ts ASC, p.event_id DESC) AS rn
+           FROM err e JOIN pur p ON p.user_id = e.user_id AND p.ts >= e.ts)
+    SELECT e.event_id, r.next_purchase_event_id, r.next_purchase_ts_us
+    FROM err e LEFT JOIN ranked r ON r.event_id = e.event_id AND r.rn = 1
+    """,
+    covers=("J6", "W6"),
+    description=(
+        "FORWARD as-of join (error -> next purchase): the reversed-time "
+        "twin of asof_join_purchase_context, same one-shuffle union+window "
+        "plan"
+    ),
+)
+def asof_join_forward_next_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("event_id").alias("p_event_id"), F.col("ts").alias("p_ts")
+    )
+    out = asof_join_forward(
+        err,
+        pur,
+        left_on="ts",
+        right_on="p_ts",
+        by=["user_id"],
+        right_tiebreak=["p_event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.col("p_event_id").alias("next_purchase_event_id"),
+        F.unix_micros("p_ts").alias("next_purchase_ts_us"),
     )
 
 

@@ -130,3 +130,51 @@ def test_interval_join_matches_pandas_filter(spark, left, right):
         ] if len(rpdf) else rpdf
         exp[lrow.lid] = None if len(matches) == 0 else int(matches.sort_values("rid").iloc[0]["rid"])
     assert got == exp
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(left=rows, right=rows)
+def test_asof_forward_matches_pandas_merge_asof(spark, left, right):
+    from ska_src_maltopuft_etl_spark.operators import asof_join_forward
+
+    lpdf = pd.DataFrame(left, columns=["k", "t"]).reset_index(names="lid")
+    rpdf = pd.DataFrame(right, columns=["k", "t"]).reset_index(names="rid")
+    # unique winner per (k, t) so both implementations agree (ours picks
+    # the greatest tiebreak among equal times)
+    rpdf = rpdf.sort_values("rid").groupby(["k", "t"], as_index=False).last()
+
+    if not len(lpdf):
+        return
+    ldf = spark.createDataFrame(lpdf[["lid", "k", "t"]])
+    if len(rpdf):
+        rdf = spark.createDataFrame(
+            rpdf[["rid", "k", "t"]].rename(columns={"t": "rt"})
+        )
+    else:
+        rdf = spark.createDataFrame([], "rid long, k long, rt long")
+
+    out = asof_join_forward(
+        ldf, rdf, left_on="t", right_on="rt", by=["k"], right_tiebreak=["rid"]
+    )
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+
+    if not len(rpdf):
+        assert got == {int(r.lid): None for r in lpdf.itertuples()}
+        return
+    expected = pd.merge_asof(
+        lpdf.sort_values(["t", "lid"]),
+        rpdf.rename(columns={"t": "rt"}).sort_values("rt"),
+        left_on="t",
+        right_on="rt",
+        by="k",
+        direction="forward",
+    )
+    want = {
+        int(r.lid): (None if pd.isna(r.rid) else int(r.rid))
+        for r in expected.itertuples()
+    }
+    assert got == want
