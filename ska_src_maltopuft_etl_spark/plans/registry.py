@@ -96,6 +96,7 @@ _TAIL = [
     "pagerank_supply_graph",
     "interval_join_bucketed_sessions",
     "asof_join_forward_next_action",
+    "salted_join_revenue",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

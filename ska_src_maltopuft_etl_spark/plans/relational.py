@@ -1696,6 +1696,42 @@ def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_join_revenue",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    covers=("J1", "A2"),
+    description=(
+        "k-way salted equi-join (operators/skew.py): hot-key mitigation "
+        "for power-law fact keys; result identical to the plain join "
+        "(oracle: unsalted SQL join)"
+    ),
+)
+def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salting spreads each hot key across `salt_buckets` reducers: the
+    fact side derives a deterministic salt, the dim side replicates
+    per salt, and the equi-join runs on (key, salt). The oracle is the
+    UNSALTED join — certifying that salting never changes results."""
+    from ska_src_maltopuft_etl_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderpriority")
+    )
+    joined = salted_join(li, od, "l_orderkey", salt_buckets=8, how="inner")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+    )
+
+
+@register(
     "approx_distinct_accuracy",
     oracle="""
     SELECT event_type,
