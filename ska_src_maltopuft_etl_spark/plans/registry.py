@@ -97,6 +97,7 @@ _TAIL = [
     "interval_join_bucketed_sessions",
     "asof_join_forward_next_action",
     "salted_join_revenue",
+    "simhash_near_pairs",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -780,3 +780,137 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(
         F.col("rank_scaled").desc(), F.col("node").asc()
     ).limit(20)
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-duplicate pair search (banded Hamming)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTES = """
+    toks AS (
+      SELECT doc_id, w, COUNT(*) AS cnt
+      FROM (SELECT doc_id, UNNEST(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> '' GROUP BY doc_id, w),
+    votes AS (
+      SELECT doc_id, u.j AS j,
+             SUM(cnt * (2 * ((strpos('0123456789abcdef',
+                                     substr(md5(w), CAST(u.j // 4 AS INT) + 1, 1)) - 1
+                              >> CAST(3 - (u.j % 4) AS INT)) & 1) - 1)) AS s
+      FROM toks, UNNEST(generate_series(0, 63)) AS u(j)
+      GROUP BY doc_id, u.j),
+    sigs AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j)
+               AS sig
+      FROM votes GROUP BY doc_id)
+"""
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_CTES},
+    bands AS (
+      SELECT doc_id, u.b AS b, substr(sig, u.b * 16 + 1, 16) AS band
+      FROM sigs, UNNEST(generate_series(0, 3)) AS u(b)),
+    cands AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.band = y.band
+      WHERE x.doc_id < y.doc_id),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST((SELECT SUM(CASE WHEN substr(sa.sig, u.j, 1)
+                                        <> substr(sb.sig, u.j, 1)
+                              THEN 1 ELSE 0 END)
+                   FROM UNNEST(generate_series(1, 64)) AS u(j)) AS BIGINT)
+               AS hamming
+      FROM cands c
+      JOIN sigs sa ON sa.doc_id = c.doc_a
+      JOIN sigs sb ON sb.doc_id = c.doc_b)
+    SELECT doc_a, doc_b, hamming FROM verified WHERE hamming <= 3
+    """,
+    covers=("S4", "J1", "R1"),
+    description=(
+        "SimHash near-dup pair search: 4x16-bit band bucket join "
+        "(pigeonhole-complete for hamming <= 3) + exact Hamming verify on "
+        "candidates only"
+    ),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by SimHash Hamming distance <= 3.
+
+    The pair-search half of the SimHash pipeline (`dedup_simhash`
+    emits the signatures): split each 64-bit signature into 4 bands of
+    16 bits; any pair within Hamming distance 3 differs in at most 3
+    bands, so by pigeonhole it collides on at least one — the
+    candidate set from the band equi-join is COMPLETE, not
+    probabilistic (unlike MinHash-LSH). The verify computes the exact
+    distance on candidates only, as `bit_count(xor)` over the four
+    16-bit chunks (integers — deterministic; the oracle counts
+    differing characters, an arithmetically identical formulation).
+
+    Scale shape: signatures are map-only; the band join shuffles 4
+    rows/doc; verification cost tracks the near-dup count, not the
+    corpus. Identical in structure to `dedup_minhash_lsh`'s
+    candidate-restricted verify.
+    """
+    d = _docs(spark, sf_dir)
+    sigs = text.simhash_bits(d, "doc_id", "text").withColumnRenamed(
+        "simhash", "sig"
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        *[
+            F.conv(F.substring("sig", b * 16 + 1, 16), 2, 10)
+            .cast("long")
+            .alias(f"c{b}")
+            for b in range(4)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("b"),
+                        F.substring("sig", b * 16 + 1, 16).alias("band"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.b").alias("b"), F.col("p.band").alias("band"))
+    cands = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.b") == F.col("y.b")) & (F.col("x.band") == F.col("y.band")),
+        )
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    ca = chunks.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"c{b}").alias(f"a{b}") for b in range(4)],
+    )
+    cb = chunks.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"c{b}").alias(f"b{b}") for b in range(4)],
+    )
+    hamming = None
+    for b in range(4):
+        term = F.expr(f"bit_count(a{b} ^ b{b})")
+        hamming = term if hamming is None else (hamming + term)
+    return (
+        cands.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .select(
+            "doc_a", "doc_b", hamming.cast("long").alias("hamming")
+        )
+        .where(F.col("hamming") <= 3)
+    )
