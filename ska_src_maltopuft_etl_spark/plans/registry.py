@@ -98,6 +98,7 @@ _TAIL = [
     "asof_join_forward_next_action",
     "salted_join_revenue",
     "simhash_near_pairs",
+    "timeseries_gapfill_locf",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1471,6 +1471,89 @@ def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gapfill_locf",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT)
+               AS val_milli
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    spans AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY event_type),
+    grid AS (
+      SELECT event_type, u.h AS hour
+      FROM spans, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS u(h)),
+    joined AS (
+      SELECT g.event_type, g.hour, COALESCE(h.n, 0) AS n, h.val_milli
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour)
+    SELECT event_type, epoch_us(hour) AS hour_us, n,
+           n = 0 AS gap_filled,
+           CAST(last_value(val_milli IGNORE NULLS)
+                  OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS val_milli_locf
+    FROM joined
+    """,
+    covers=("W4", "R1", "A2"),
+    description=(
+        "hypertable-style resampling: dense hourly grid per series "
+        "(generate_series explode), zero-fill counts, "
+        "last-observation-carried-forward values (time_bucket_gapfill/locf "
+        "parity); integer-scaled sums keep the fill values exact"
+    ),
+)
+def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample events to a gap-free hourly grid with LOCF imputation.
+
+    Shape: one keyed aggregate to hourly buckets (map-side partials),
+    a per-series span aggregate (|series| rows — broadcast back), a
+    sequence-explode to the dense grid (rows = span-hours per series,
+    generated distributed, never on the driver), a left join of the
+    sparse aggregates onto the grid, and one window for the
+    carry-forward. Sums are integer-scaled (floor(value*1000) per row,
+    THEN summed) so the fill values are exact under any addition
+    order — the float-sum alternative isn't reproducible.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("val_milli"),
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left").select(
+        "event_type",
+        "hour",
+        F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        "val_milli",
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return joined.select(
+        "event_type",
+        F.unix_micros("hour").alias("hour_us"),
+        "n",
+        (F.col("n") == 0).alias("gap_filled"),
+        F.last("val_milli", ignorenulls=True).over(w).alias("val_milli_locf"),
+    )
+
+
+@register(
     "time_range_moving_stats",
     oracle="""
     SELECT event_id, user_id,
