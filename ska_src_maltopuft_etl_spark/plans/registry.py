@@ -99,6 +99,8 @@ _TAIL = [
     "salted_join_revenue",
     "simhash_near_pairs",
     "timeseries_gapfill_locf",
+    "frequent_itemset_pairs",
+    "histogram_order_totals",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -914,3 +914,109 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (frequent itemset pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "frequent_itemset_pairs",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT part_a, part_b, n_orders
+    FROM pairs WHERE n_orders >= 2
+    ORDER BY n_orders DESC, part_a ASC, part_b ASC
+    LIMIT 50
+    """,
+    covers=("J1", "A2", "W6"),
+    description=(
+        "market-basket pair mining: parts co-occurring in >= 2 orders via "
+        "basket self-join (the candidate-generation step of a distributed "
+        "FP-growth/apriori); top-50 with total-order tie-break"
+    ),
+)
+def frequent_itemset_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-occurring part pairs across order baskets.
+
+    The self-join explodes each basket to its C(k,2) pairs — bounded
+    by the basket size (TPC-H ~4-7 items), so the shuffle is O(orders
+    x k²), not corpus-quadratic. At 100 TB the standard guard is a
+    per-basket size cap before the join (huge baskets are spam); the
+    min-support filter sits directly on the pair aggregate so only
+    frequent pairs survive to the top-k sort.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("part_a").asc(), F.col("part_b").asc()
+    ).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+@register(
+    "histogram_order_totals",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bin,
+             o_totalprice
+      FROM orders)
+    SELECT bin,
+           CAST(bin AS DOUBLE) * 25000.0 AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM b GROUP BY bin
+    """,
+    covers=("A2", "P4"),
+    description=(
+        "fixed-width histogram of order totals: floor-division binning "
+        "(one map + one keyed aggregate), per-bin count/min/max"
+    ),
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profile of o_totalprice in 25k-wide bins — the
+    one-pass histogram every dataset-profiling stage needs. Binning is
+    a floor division (deterministic), per-bin stats are order-
+    insensitive aggregates (count/min/max; no float sums)."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 25000.0).cast("long")
+    return (
+        o.select(bin_.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+        .select(
+            "bin",
+            (F.col("bin").cast("double") * 25000.0).alias("bin_lo"),
+            "n",
+            "bin_min",
+            "bin_max",
+        )
+    )
