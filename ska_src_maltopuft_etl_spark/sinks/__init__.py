@@ -1,7 +1,9 @@
 from ska_src_maltopuft_etl_spark.sinks.inverted_index import (
     build_inverted_index,
+    run_index_maintenance_stream,
     search_index,
     term_bucket_py,
+    update_inverted_index,
 )
 from ska_src_maltopuft_etl_spark.sinks.scd2 import scd2_apply
 from ska_src_maltopuft_etl_spark.sinks.snapshots import (
@@ -27,8 +29,10 @@ from ska_src_maltopuft_etl_spark.sinks.relational import (
 __all__ = [
     "ATNF_TARGETS",
     "build_inverted_index",
+    "run_index_maintenance_stream",
     "search_index",
     "term_bucket_py",
+    "update_inverted_index",
     "file_skipping_stats",
     "read_snapshot",
     "rollback_snapshot",

@@ -78,13 +78,90 @@ def build_inverted_index(
         f"{path}/postings"
     )
     doclens.write.mode("overwrite").parquet(f"{path}/doclens")
+    _write_stats(doclens, path, n_buckets)
+
+
+def _write_stats(doclens: DataFrame, path: str, n_buckets: int) -> None:
+    # stats are stored in MERGEABLE integer form (n, sum_dl); avgdl is
+    # derived at query time with the same double expression the ad-hoc
+    # BM25 uses, so materialized-vs-ad-hoc stays bit-identical AND
+    # incremental updates can recompute stats from doclens alone.
     doclens.agg(
-        F.count(F.lit(1)).cast("double").alias("n"),
-        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias(
-            "avgdl"
-        ),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
     ).withColumn("n_buckets", F.lit(n_buckets)).write.mode("overwrite").parquet(
         f"{path}/stats"
+    )
+
+
+def update_inverted_index(
+    docs: DataFrame,
+    path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Idempotently append a document batch to an existing index.
+
+    Already-indexed doc ids are dropped with an anti join (the same
+    idempotence contract as ``sinks/relational.merge_append`` and the
+    near-dup band index), new postings/doclens append to the
+    partitioned layout, and the tiny stats table is recomputed from
+    doclens. Returns the number of newly indexed documents. Safe to
+    re-run on the same batch — the second run is a no-op.
+
+    At scale the append touches only the new docs' term buckets (the
+    partitioned write creates/extends just those directories); pair
+    with sinks/compaction for hot-bucket small-file cleanup and
+    sinks/snapshots for atomic publish.
+    """
+    spark = docs.sparkSession
+    stats = spark.read.parquet(f"{path}/stats")
+    n_buckets = stats.select("n_buckets").head()[0]
+    existing = spark.read.parquet(f"{path}/doclens").select("doc_id")
+    fresh = (
+        docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("__text")
+        )
+        .join(existing, "doc_id", "left_anti")
+        .localCheckpoint()  # pin the novelty decision before the appends
+    )
+    n_new = fresh.count()
+    if n_new == 0:
+        return 0
+    toks = fresh.select("doc_id", text.tokens(F.col("__text")).alias("__t"))
+    doclens = toks.select("doc_id", F.size("__t").alias("dl"))
+    postings = (
+        toks.select("doc_id", F.explode("__t").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("term_bucket", _term_bucket_col("term", n_buckets))
+    )
+    postings.write.mode("append").partitionBy("term_bucket").parquet(
+        f"{path}/postings"
+    )
+    doclens.write.mode("append").parquet(f"{path}/doclens")
+    _write_stats(spark.read.parquet(f"{path}/doclens"), path, n_buckets)
+    return n_new
+
+
+def run_index_maintenance_stream(
+    doc_stream: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """foreachBatch wiring of :func:`update_inverted_index`: each
+    micro-batch appends idempotently, so replayed batches after a
+    restart dedupe on doc id. Caller starts/awaits the query."""
+
+    def process(batch_df: DataFrame, epoch_id: int) -> None:
+        update_inverted_index(batch_df, path, id_col, text_col)
+
+    return (
+        doc_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
     )
 
 
@@ -99,8 +176,16 @@ def search_index(
     """BM25 top-k over the materialized index, pruned to the query terms'
     buckets. Scoring matches `bm25_keyword_search` bit-for-bit (same
     rational idf, same fixed-order per-term sum)."""
-    stats = spark.read.parquet(f"{path}/stats")
-    n_buckets = stats.select("n_buckets").head()[0]
+    raw_stats = spark.read.parquet(f"{path}/stats")
+    n_buckets = raw_stats.select("n_buckets").head()[0]
+    # same double expression as the ad-hoc BM25's stats aggregate →
+    # identical bits (sum_dl and n_docs are exact integers)
+    stats = raw_stats.select(
+        F.col("n_docs").cast("double").alias("n"),
+        (F.col("sum_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
     buckets = sorted({term_bucket_py(t, n_buckets) for t in terms})
     postings = (
         spark.read.parquet(f"{path}/postings")

@@ -69,3 +69,63 @@ def test_search_prunes_partitions(spark, tmp_path):
     assert "term_bucket" in pf_line
     # and the pruned read returns exactly the buckets' rows
     assert pruned.select("term_bucket").distinct().count() == len(buckets)
+
+
+def test_incremental_update_equals_full_build(spark, tmp_path):
+    """Index half the corpus, append the rest (with overlap) in two
+    batches — search results must equal a from-scratch full build, and
+    re-running a batch must be a no-op."""
+    from ska_src_maltopuft_etl_spark.sinks.inverted_index import (
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    second = docs.where(F.col("doc_id") % 2 == 1)
+
+    inc_path = str(tmp_path / "inc")
+    build_inverted_index(first, inc_path)
+    n1 = update_inverted_index(second, inc_path)
+    assert n1 == second.count()
+    # overlap batch: every doc already indexed → no-op
+    assert update_inverted_index(docs.limit(50), inc_path) == 0
+
+    full_path = str(tmp_path / "full")
+    build_inverted_index(docs, full_path)
+
+    terms = ["spark", "hash", "window"]
+    inc = search_index(spark, inc_path, terms, k=20).collect()
+    full = search_index(spark, full_path, terms, k=20).collect()
+    assert [(r["doc_id"], r["score"]) for r in inc] == [
+        (r["doc_id"], r["score"]) for r in full
+    ]
+
+
+def test_streaming_index_maintenance(spark, tmp_path):
+    """foreachBatch maintenance: streamed files land in the index; the
+    search result equals a batch build over the same docs."""
+    from ska_src_maltopuft_etl_spark.sinks.inverted_index import (
+        run_index_maintenance_stream,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(100).localCheckpoint()
+    data = str(tmp_path / "docs_in")
+    docs.select("doc_id", "text").write.parquet(data)
+
+    idx = str(tmp_path / "idx")
+    build_inverted_index(docs.limit(0), idx)  # empty seed index
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(data)
+    q = run_index_maintenance_stream(
+        stream, idx, checkpoint_dir=str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    batch_idx = str(tmp_path / "batch_idx")
+    build_inverted_index(docs, batch_idx)
+    terms = ["spark", "hash"]
+    got = search_index(spark, idx, terms, k=10).collect()
+    want = search_index(spark, batch_idx, terms, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] == [
+        (r["doc_id"], r["score"]) for r in want
+    ]
