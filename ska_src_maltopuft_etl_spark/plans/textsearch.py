@@ -1,8 +1,11 @@
-"""Text-retrieval and data-curation queries: BM25 keyword search,
-eval-set decontamination, PII masking, repetition (Gopher-style)
-filtering, boilerplate n-gram pruning, and embedding scalar
-quantization — the curation stages a training-data pipeline runs after
-dedup (plans/llmops.py) and before packing.
+"""Text-retrieval, curation, and analytics-extension queries: BM25
+keyword search, eval-set decontamination, PII masking, repetition
+(Gopher-style) filtering, boilerplate n-gram pruning, embedding scalar
+quantization, temperature-scaled domain mixture, RAG chunking, SimHash
+banded Hamming pair search, fixed-point PageRank, market-basket pair
+mining, and histogram profiling — the curation stages a training-data
+pipeline runs after dedup (plans/llmops.py) plus the graph/mining
+analytics a complete engine offers beside them.
 
 Every query here has a full DuckDB value-hash oracle. Float
 determinism follows the repo rule (NOTES.md round-3 gotchas): both
@@ -810,9 +813,14 @@ _SIMHASH_CTES = """
     "simhash_near_pairs",
     oracle=f"""
     WITH {_SIMHASH_CTES},
-    bands AS (
+    bands0 AS (
       SELECT doc_id, u.b AS b, substr(sig, u.b * 16 + 1, 16) AS band
       FROM sigs, UNNEST(generate_series(0, 3)) AS u(b)),
+    bands AS (
+      SELECT doc_id, b, band FROM (
+        SELECT doc_id, b, band, COUNT(*) OVER (PARTITION BY b, band) AS f
+        FROM bands0)
+      WHERE f <= 64),
     cands AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM bands x JOIN bands y ON x.b = y.b AND x.band = y.band
@@ -855,8 +863,21 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-restricted verify.
     """
     d = _docs(spark, sf_dir)
-    sigs = text.simhash_bits(d, "doc_id", "text").withColumnRenamed(
-        "simhash", "sig"
+    # Two local-scale fixes that are both no-ops at cluster scale:
+    # (1) the single-file test scan is ONE partition, and the signature
+    # projection (64 weighted-bit votes per doc) is the most expensive
+    # map in the battery — repartition first so it uses every core (at
+    # 100 TB the scan already arrives in thousands of splits);
+    # (2) the signature table feeds FIVE plan branches (chunk table
+    # twice, band table twice, verify) — localCheckpoint caps the
+    # computation at once.
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    sigs = (
+        text.simhash_bits(d, "doc_id", "text")
+        .withColumnRenamed("simhash", "sig")
+        .localCheckpoint()
     )
     chunks = sigs.select(
         "doc_id",
@@ -868,7 +889,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ],
     )
-    bands = sigs.select(
+    bands0 = sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -882,6 +903,20 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p"),
     ).select("doc_id", F.col("p.b").alias("b"), F.col("p.band").alias("band"))
+    # Skew guard (the scale hazard of ANY banded scheme): a band value
+    # shared by f docs contributes f² candidate pairs, and a hot bucket
+    # (near-constant signature region — boilerplate-dominated corpora)
+    # can carry the whole corpus. Cap bucket size like jaccard_pairs'
+    # max_doc_frequency: pairs whose ONLY collision is a hot bucket are
+    # dropped — the standard trade, applied identically in the oracle
+    # (the cap reads an exact COUNT, so both engines drop the same
+    # buckets). 188k → bounded candidates on the sf0.1 word-salad corpus.
+    bf = Window.partitionBy("b", "band")
+    bands = (
+        bands0.withColumn("__f", F.count(F.lit(1)).over(bf))
+        .where(F.col("__f") <= 64)
+        .drop("__f")
+    )
     cands = (
         bands.alias("x")
         .join(

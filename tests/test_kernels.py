@@ -130,3 +130,23 @@ def test_astropy_fallback_gated(spark):
         assert abs((row["ts"] - row["ts_native"]).total_seconds()) < 1e-3
         assert row["ra_deg"] == _pytest.approx(row["ra_native"], abs=1e-5)
         assert row["dec_deg"] == _pytest.approx(row["dec_native"], abs=1e-5)
+
+
+def test_simhash_per_row_equals_aggregate(spark):
+    """The codegen'd per-row fold and the explode+shuffle aggregate
+    formulation must produce identical signatures (the per-row form is
+    the default; the aggregate form is the pathological-doc-length
+    fallback)."""
+    from ska_src_maltopuft_etl_spark.operators import text
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r["doc_id"]: r["simhash"]
+        for r in text.simhash_bits(d, "doc_id", "text", per_row=True).collect()
+    }
+    b = {
+        r["doc_id"]: r["simhash"]
+        for r in text.simhash_bits(d, "doc_id", "text", per_row=False).collect()
+    }
+    assert a == b and len(a) == d.count()
