@@ -51,7 +51,12 @@ def main() -> None:
             df = spec.fn(spark, sf_dir)
             # count() runs the complete plan; value-level verification is
             # the oracle harness's job, and a second action (collect)
-            # would re-execute the whole DAG.
+            # would re-execute the whole DAG. Caveat (kept for
+            # round-over-round comparability): count() lets Catalyst
+            # prune expensive FINAL projections (e.g. a signature
+            # string built in the last select), so projection-heavy
+            # queries under-report here; the oracle harness (collect)
+            # pays the full cost.
             df.count()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
