@@ -99,8 +99,10 @@ _TAIL = [
     "salted_join_revenue",
     "simhash_near_pairs",
     "timeseries_gapfill_locf",
+    "timeseries_gapfill_linear",
     "frequent_itemset_pairs",
     "histogram_order_totals",
+    "text_rarity_score",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

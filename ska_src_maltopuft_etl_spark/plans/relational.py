@@ -1554,6 +1554,133 @@ def timeseries_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "timeseries_gapfill_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hour,
+             CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT)
+               AS val_milli
+      FROM events GROUP BY event_type, date_trunc('hour', ts)),
+    spans AS (
+      SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+      FROM hourly GROUP BY event_type),
+    grid AS (
+      SELECT event_type, u.h AS hour
+      FROM spans, UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS u(h)),
+    joined AS (
+      SELECT g.event_type, g.hour, h.val_milli
+      FROM grid g LEFT JOIN hourly h
+        ON h.event_type = g.event_type AND h.hour = g.hour),
+    bracketed AS (
+      SELECT event_type, hour, val_milli,
+             last_value(val_milli IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             epoch_us(CAST(last_value(CASE WHEN val_milli IS NOT NULL
+                                           THEN hour END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS TIMESTAMP))
+               AS prev_t,
+             first_value(val_milli IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             epoch_us(CAST(first_value(CASE WHEN val_milli IS NOT NULL
+                                            THEN hour END IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS TIMESTAMP))
+               AS next_t
+      FROM joined)
+    SELECT event_type, epoch_us(hour) AS hour_us,
+           val_milli IS NULL AS interpolated,
+           CASE
+             WHEN val_milli IS NOT NULL THEN CAST(val_milli AS DOUBLE)
+             WHEN prev_v IS NULL THEN CAST(next_v AS DOUBLE)
+             WHEN next_v IS NULL THEN CAST(prev_v AS DOUBLE)
+             ELSE CAST(prev_v AS DOUBLE)
+                  + (CAST(next_v AS DOUBLE) - CAST(prev_v AS DOUBLE))
+                    * (CAST(epoch_us(hour) - prev_t AS DOUBLE)
+                       / CAST(next_t - prev_t AS DOUBLE))
+           END AS val_milli_interp
+    FROM bracketed
+    """,
+    covers=("W4", "R1", "P7"),
+    description=(
+        "linear-interpolation gap fill: bracket each gap with the previous/"
+        "next observed point via ignoreNulls window edges, interpolate in a "
+        "single fixed-order float expression (bit-reproducible)"
+    ),
+)
+def timeseries_gapfill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-free hourly series with linear interpolation.
+
+    Same dense-grid build as `timeseries_gapfill_locf`; imputation
+    brackets each missing point with last(ignoreNulls) looking back
+    and first(ignoreNulls) looking forward (two windows over one
+    sort), then one arithmetic expression interpolates. Series edges
+    degrade to nearest-observed. All inputs to the float expression
+    are exact integers (scaled values, epoch micros), and the
+    expression is written with one operation order — identical bits
+    in both engines.
+    """
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(
+        F.sum(F.floor(F.col("value") * 1000.0).cast("long")).alias("val_milli")
+    )
+    spans = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("hour"),
+    )
+    joined = grid.join(hourly, ["event_type", "hour"], "left")
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    obs_t = F.when(
+        F.col("val_milli").isNotNull(), F.col("hour")
+    )
+    b = joined.select(
+        "event_type",
+        "hour",
+        "val_milli",
+        F.last("val_milli", ignorenulls=True).over(back).alias("prev_v"),
+        F.unix_micros(F.last(obs_t, ignorenulls=True).over(back)).alias("prev_t"),
+        F.first("val_milli", ignorenulls=True).over(fwd).alias("next_v"),
+        F.unix_micros(F.first(obs_t, ignorenulls=True).over(fwd)).alias("next_t"),
+    )
+    interp = (
+        F.col("prev_v").cast("double")
+        + (F.col("next_v").cast("double") - F.col("prev_v").cast("double"))
+        * (
+            (F.unix_micros("hour") - F.col("prev_t")).cast("double")
+            / (F.col("next_t") - F.col("prev_t")).cast("double")
+        )
+    )
+    return b.select(
+        "event_type",
+        F.unix_micros("hour").alias("hour_us"),
+        F.col("val_milli").isNull().alias("interpolated"),
+        F.when(F.col("val_milli").isNotNull(), F.col("val_milli").cast("double"))
+        .when(F.col("prev_v").isNull(), F.col("next_v").cast("double"))
+        .when(F.col("next_v").isNull(), F.col("prev_v").cast("double"))
+        .otherwise(interp)
+        .alias("val_milli_interp"),
+    )
+
+
+@register(
     "time_range_moving_stats",
     oracle="""
     SELECT event_id, user_id,

@@ -1055,3 +1055,78 @@ def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bin_max",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-rarity quality score (LM-lite proxy)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_rarity_score",
+    oracle="""
+    WITH occ AS (
+      SELECT doc_id, UNNEST(list_filter(string_split(text, ' '),
+                                        w -> w <> '')) AS w
+      FROM documents),
+    vocab AS (
+      SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM occ GROUP BY w),
+    scored AS (
+      SELECT o.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_tokens,
+             CAST(SUM(v.df) AS BIGINT) AS df_sum,
+             CAST(SUM(CASE WHEN v.df <= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rare
+      FROM occ o JOIN vocab v ON o.w = v.w
+      GROUP BY o.doc_id)
+    SELECT doc_id, n_tokens,
+           CAST(df_sum AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_token_df,
+           n_rare,
+           CAST(n_rare AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS rare_frac,
+           n_rare * 10 <= n_tokens AS keep
+    FROM scored
+    """,
+    covers=("R1", "A3", "J1"),
+    description=(
+        "token-rarity quality score (LM-perplexity-lite proxy): mean "
+        "document frequency of a doc's tokens + rare-token fraction; "
+        "integer-space keep threshold"
+    ),
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-statistics quality signal: how 'ordinary' is each doc's
+    vocabulary?
+
+    The cheap stand-in for LM-perplexity filtering (true log-prob
+    scoring needs ln — not bit-reproducible across engines; mean
+    document frequency ranks documents the same way for filtering
+    purposes). Shape: one explode → token-df aggregate (the vocabulary
+    table, heavy-tailed but bounded), joined back to occurrences via
+    the df table — a shuffle join on the token, with AQE skew handling
+    for stop-words; then one per-doc aggregate. All emitted floats are
+    single divisions of exact integers.
+    """
+    d = _docs(spark, sf_dir)
+    occ = d.select("doc_id", F.explode(text.tokens("text")).alias("w"))
+    vocab = occ.groupBy("w").agg(F.count_distinct("doc_id").alias("df"))
+    scored = (
+        occ.join(vocab, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("df").alias("df_sum"),
+            F.sum(F.when(F.col("df") <= 2, 1).otherwise(0)).alias("n_rare"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.col("df_sum").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("mean_token_df"),
+        "n_rare",
+        (
+            F.col("n_rare").cast("double") / F.col("n_tokens").cast("double")
+        ).alias("rare_frac"),
+        (F.col("n_rare") * 10 <= F.col("n_tokens")).alias("keep"),
+    )
