@@ -103,6 +103,7 @@ _TAIL = [
     "frequent_itemset_pairs",
     "histogram_order_totals",
     "text_rarity_score",
+    "hybrid_search_rrf",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1130,3 +1130,112 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rare_frac"),
         (F.col("n_rare") * 10 <= F.col("n_tokens")).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: BM25 + embedding cosine, reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+
+@register(
+    "hybrid_search_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+              FROM dl),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, UNNEST(t) AS term FROM toks)
+      WHERE term IN ('spark', 'hash', 'window')
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                    + {_BM25_B} * (CAST(dl.dl AS DOUBLE) / stats.avgdl))) AS s
+      FROM tf JOIN dl USING (doc_id) CROSS JOIN stats JOIN dfreq USING (term)),
+    pivoted AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN term = 'spark' THEN s END), 0.0) AS s_spark,
+             COALESCE(MAX(CASE WHEN term = 'hash' THEN s END), 0.0) AS s_hash,
+             COALESCE(MAX(CASE WHEN term = 'window' THEN s END), 0.0) AS s_window
+      FROM scored GROUP BY doc_id),
+    br AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY (s_spark + s_hash) + s_window DESC,
+                                doc_id ASC) AS rank_b
+      FROM pivoted QUALIFY rank_b <= 20),
+    qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+           WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 5)
+               AS cosine
+      FROM embeddings e, qv WHERE e.vec_id <> 0),
+    cr AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank_c
+      FROM cos QUALIFY rank_c <= 20),
+    fused AS (
+      SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id, b.rank_b, c.rank_c
+      FROM br b FULL JOIN cr c ON b.doc_id = c.doc_id)
+    SELECT doc_id,
+           rank_b IS NOT NULL AS in_bm25,
+           rank_c IS NOT NULL AS in_cosine,
+           COALESCE(1.0 / (60.0 + CAST(rank_b AS DOUBLE)), 0.0)
+             + COALESCE(1.0 / (60.0 + CAST(rank_c AS DOUBLE)), 0.0) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    covers=("J1", "W1", "R1", "J4"),
+    description=(
+        "hybrid retrieval: BM25 top-20 and embedding-cosine top-20 fused by "
+        "reciprocal-rank fusion (k=60); integer ranks make the fusion score "
+        "bit-reproducible"
+    ),
+)
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern retrieval stack's endpoint: lexical and dense
+    candidate lists fused by RRF.
+
+    Both lists are top-20 with total-order tie-breaks; fusion operates
+    on RANKS (integers), so the fused score is two exact divisions
+    added in a fixed order — reproducible where score-level fusion of
+    floats would not be. Scale: each list is a corpus-parallel scan +
+    top-k; the fusion is a full-outer join of two 20-row frames
+    (driver-trivial, broadcast).
+    """
+    bm = bm25_keyword_search(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("rank_b"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    c = e.where(F.col("vec_id") != 0)
+    cr = similarity.cosine_topk_bruteforce(
+        q, c, "vec_id", "embedding", k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_c"))
+    fused = bm.join(cr, "doc_id", "full")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("rank_b").cast("double")), F.lit(0.0)
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(60.0) + F.col("rank_c").cast("double")), F.lit(0.0)
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.col("rank_b").isNotNull().alias("in_bm25"),
+            F.col("rank_c").isNotNull().alias("in_cosine"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
+        .limit(10)
+    )
