@@ -190,3 +190,58 @@ def extract_features(
             yield pd.DataFrame({id_col: pdf[id_col].values, "features": feats})
 
     return narrow.mapInPandas(process, schema=out_schema)
+
+
+def score_pairs_batched(
+    pairs: DataFrame,
+    query_col: str,
+    text_col: str,
+    id_cols: list[str],
+    batch_scorer=None,
+) -> DataFrame:
+    """Model-inference plumbing for a cross-encoder rerank stage.
+
+    Ships (query, document) candidate pairs through Arrow
+    ``mapInPandas`` batches to a vectorized scorer — the exact batch
+    shape a real cross-encoder ONNX/torch session consumes. The
+    default scorer is a deterministic md5-derived stand-in
+    (``int(md5(q + '|' + text)[:8], 16) / 4294967295``), which makes
+    the WHOLE plumbing oracle-checkable: an independent SQL engine
+    reproduces the scores bit-for-bit, certifying the Arrow path
+    neither drops, duplicates, nor reorders pairs. Swap
+    ``batch_scorer`` for a real model callable in production — the
+    plan shape (map-only over candidate pairs, embarrassingly
+    parallel) is unchanged.
+    """
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    if batch_scorer is None:
+
+        def batch_scorer(q: "pd.Series", t: "pd.Series") -> "pd.Series":
+            import hashlib
+
+            return pd.Series(
+                [
+                    int(
+                        hashlib.md5(f"{a}|{b}".encode()).hexdigest()[:8], 16
+                    )
+                    / 4294967295.0
+                    for a, b in zip(q, t)
+                ],
+                index=q.index,
+                dtype="float64",
+            )
+
+    narrow = pairs.select(*id_cols, query_col, text_col)
+    out_schema = StructType(
+        [narrow.schema[c] for c in id_cols] + [StructField("ce_score", DoubleType())]
+    )
+
+    def process(batches):
+        for pdf in batches:
+            out = pdf[id_cols].copy()
+            out["ce_score"] = batch_scorer(pdf[query_col], pdf[text_col])
+            yield out
+
+    return narrow.mapInPandas(process, schema=out_schema)

@@ -104,6 +104,7 @@ _TAIL = [
     "histogram_order_totals",
     "text_rarity_score",
     "hybrid_search_rrf",
+    "rerank_cross_encoder",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

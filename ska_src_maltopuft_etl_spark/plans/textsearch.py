@@ -1239,3 +1239,78 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc())
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-encoder rerank stage (Arrow inference plumbing, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+_RERANK_QUERY = "spark hash window"
+
+
+@register(
+    "rerank_cross_encoder",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    hits AS (
+      SELECT doc_id,
+             CAST(len(list_filter(t, w -> w IN ('spark', 'hash', 'window')))
+                  AS BIGINT) AS n_hits
+      FROM toks),
+    cands AS (
+      SELECT h.doc_id, d.text
+      FROM hits h JOIN documents d ON d.doc_id = h.doc_id
+      WHERE h.n_hits >= 1
+      ORDER BY h.n_hits DESC, h.doc_id ASC LIMIT 50)
+    SELECT doc_id,
+           CAST(CONCAT('0x', substr(md5('{_RERANK_QUERY}' || '|' || text), 1, 8))
+                AS BIGINT) / 4294967295.0 AS ce_score
+    FROM cands
+    ORDER BY ce_score DESC, doc_id ASC
+    LIMIT 10
+    """,
+    covers=("R1", "J1", "W1"),
+    description=(
+        "cross-encoder rerank stage: candidate top-50 by term hits, scored "
+        "pairwise through Arrow mapInPandas batches (deterministic md5 "
+        "stand-in model → the UDF plumbing itself is value-hash certified)"
+    ),
+)
+def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate retrieval → batched model scoring → final top-k.
+
+    The inference stage every production search/RAG pipeline ends
+    with. Candidates (term-hit top-50, integer-ranked) pair with the
+    query string and stream through `multimodal.score_pairs_batched` —
+    REAL Arrow batch plumbing with a deterministic stand-in model, so
+    the driver's value-hash oracle certifies that the Python batch
+    path preserves every pair exactly. Map-only over candidates at any
+    scale; the candidate generator bounds the model-call volume.
+    """
+    from ska_src_maltopuft_etl_spark.operators import multimodal
+
+    d = _docs(spark, sf_dir)
+    hits = d.select(
+        "doc_id",
+        "text",
+        F.size(
+            F.filter(
+                text.tokens("text"),
+                lambda w: w.isin("spark", "hash", "window"),
+            )
+        ).cast("long").alias("n_hits"),
+    )
+    cands = (
+        hits.where(F.col("n_hits") >= 1)
+        .orderBy(F.col("n_hits").desc(), F.col("doc_id").asc())
+        .limit(50)
+        .withColumn("query", F.lit(_RERANK_QUERY))
+    )
+    scored = multimodal.score_pairs_batched(
+        cands, "query", "text", id_cols=["doc_id"]
+    )
+    return scored.orderBy(
+        F.col("ce_score").desc(), F.col("doc_id").asc()
+    ).limit(10)
