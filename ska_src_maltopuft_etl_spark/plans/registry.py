@@ -105,6 +105,7 @@ _TAIL = [
     "text_rarity_score",
     "hybrid_search_rrf",
     "rerank_cross_encoder",
+    "hierarchy_rollup_paths",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1314,3 +1314,90 @@ def rerank_cross_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("ce_score").desc(), F.col("doc_id").asc()
     ).limit(10)
+
+
+# ---------------------------------------------------------------------------
+# Hierarchy traversal: iterative ancestor resolution (recursive-CTE parity)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hierarchy_rollup_paths",
+    oracle="""
+    WITH RECURSIVE nodes AS (
+      SELECT DISTINCT o_orderkey AS node FROM orders),
+    edges AS (
+      SELECT node, node // 10 AS parent FROM nodes WHERE node > 0),
+    walk(node, anc, depth) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION ALL
+      SELECT w.node, e.parent, w.depth + 1
+      FROM walk w JOIN edges e ON e.node = w.anc),
+    roots AS (
+      SELECT node, anc AS root, depth
+      FROM walk
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY node ORDER BY depth DESC) = 1)
+    SELECT CAST(depth AS BIGINT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(DISTINCT root) AS BIGINT) AS n_roots,
+           CAST(MIN(node) AS BIGINT) AS min_node,
+           CAST(MAX(node) AS BIGINT) AS max_node
+    FROM roots GROUP BY depth
+    """,
+    covers=("J1", "A2", "A3"),
+    description=(
+        "hierarchy traversal without recursive CTEs: pointer-doubling "
+        "ancestor resolution (O(log depth) rounds of self-joins on "
+        "materialized links) vs the oracle's WITH RECURSIVE walk"
+    ),
+)
+def hierarchy_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every node's ROOT ancestor + depth in a decimal-digit
+    tree derived from order keys (parent = node DIV 10).
+
+    Spark has no recursive CTE; the scalable formulation is
+    **pointer doubling**: keep (node, ancestor, steps) links and
+    repeatedly self-join links onto themselves, doubling the hop
+    distance per round — O(log depth) rounds instead of O(depth), the
+    same technique parallel BFS/transitive-closure uses. Each round is
+    one equi-join + coalesce on a localCheckpoint'ed frame.
+
+    Output aggregates per depth (count, distinct roots, min/max node)
+    — all integer/order-insensitive, hash-safe.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    nodes = o.select(F.col("o_orderkey").alias("node")).distinct()
+    # link: node -> current known ancestor + hop count; root links to
+    # itself with done=True
+    links = nodes.select(
+        "node",
+        F.when(F.col("node") > 0, (F.col("node") / 10).cast("long"))
+        .otherwise(F.col("node"))
+        .alias("anc"),
+        F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
+    ).localCheckpoint()
+    # max depth of node k is ~log10(k); double pointers ceil(log2) times
+    import math
+
+    max_key = nodes.agg(F.max("node")).head()[0] or 1
+    rounds = max(1, math.ceil(math.log2(max(2, len(str(max_key))))))
+    for _ in range(rounds):
+        hop = links.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("depth").alias("j_depth"),
+        )
+        links = (
+            links.join(hop, links["anc"] == hop["j_node"], "left")
+            .select(
+                "node",
+                F.coalesce("j_anc", "anc").alias("anc"),
+                (F.col("depth") + F.coalesce("j_depth", F.lit(0))).alias("depth"),
+            )
+            .localCheckpoint()
+        )
+    return links.groupBy(F.col("depth").cast("long").alias("depth")).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.count_distinct("anc").alias("n_roots"),
+        F.min("node").alias("min_node"),
+        F.max("node").alias("max_node"),
+    )
