@@ -106,6 +106,7 @@ _TAIL = [
     "hybrid_search_rrf",
     "rerank_cross_encoder",
     "hierarchy_rollup_paths",
+    "event_transition_matrix",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1401,3 +1401,62 @@ def hierarchy_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("min_node"),
         F.max("node").alias("max_node"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence transition matrix (user-journey Markov model)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type, ts, event_id,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type),
+    outs AS (
+      SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_out
+      FROM trans GROUP BY from_type)
+    SELECT t.from_type, t.to_type, t.n,
+           CAST(t.n AS DOUBLE) / CAST(o.n_out AS DOUBLE) AS p
+    FROM trans t JOIN outs o ON o.from_type = t.from_type
+    """,
+    covers=("W4", "A2", "J1"),
+    description=(
+        "first-order user-journey transition matrix: lead window per user "
+        "(total-order tie-break), transition counts, row-normalized "
+        "probabilities via one exact-integer division"
+    ),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P(next event type | current) across user journeys.
+
+    One keyed window per user (lead with a (ts, event_id) total order
+    so concurrent events order deterministically), a transition-count
+    aggregate, and a row normalization from exact integer counts —
+    the analytics core of funnel discovery / journey modeling. Shape:
+    one shuffle on user_id, one on the transition key, both with
+    map-side partials.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    trans = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    outs = trans.groupBy("from_type").agg(F.sum("n").alias("n_out"))
+    return trans.join(outs, "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.col("n_out").cast("double")).alias("p"),
+    )
