@@ -106,3 +106,33 @@ def test_language_id_no_shuffle_before_scan_output(spark):
     assert not any(
         l.strip().startswith("(") and ") Exchange" in l for l in plan.splitlines()
     ), plan
+
+
+def test_pagerank_materializes_invariants(spark):
+    plan = plan_of(spark, "pagerank_supply_graph")
+    # loop invariants are localCheckpoint'ed: the plan re-reads NO
+    # parquet per iteration and never falls back to a nested loop
+    assert "BroadcastNestedLoopJoin" not in plan
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l]
+    assert len(scans) == 0, plan
+
+
+def test_gapfill_single_sort_for_both_windows(spark):
+    plan = plan_of(spark, "timeseries_gapfill_linear")
+    # backward and forward ignoreNulls windows share one (event_type,
+    # hour) sort — no extra exchange between them
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    assert n_exchange <= 3, plan
+
+
+def test_transition_matrix_two_shuffles(spark):
+    plan = plan_of(spark, "event_transition_matrix")
+    n_exchange = sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+    # user window + transition agg (+ AQE re-use); normalization join
+    # must not add a third full shuffle of the transition table
+    assert n_exchange <= 5, plan
+    assert "BroadcastNestedLoopJoin" not in plan
