@@ -107,6 +107,7 @@ _TAIL = [
     "rerank_cross_encoder",
     "hierarchy_rollup_paths",
     "event_transition_matrix",
+    "embedding_outliers_per_label",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1460,3 +1460,92 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.col("n_out").cast("double")).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-class centroid outlier detection (dataset QA for labeled embeddings)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_outliers_per_label",
+    oracle="""
+    WITH dims AS (
+      SELECT vec_id, label, u.i AS dim,
+             CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1000.0) AS BIGINT)
+               AS vi
+      FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i)
+      WHERE embedding[u.i] IS NOT NULL AND label IS NOT NULL),
+    stats AS (
+      SELECT label, dim,
+             CAST(SUM(vi) AS BIGINT) AS s,
+             CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n
+      FROM dims GROUP BY label, dim),
+    diffs AS (
+      SELECT d.vec_id, d.label,
+             (d.vi * st.n - st.s) * (d.vi * st.n - st.s) AS d2_term
+      FROM dims d JOIN stats st ON st.label = d.label AND st.dim = d.dim),
+    dist AS (
+      SELECT vec_id, label, CAST(SUM(d2_term) AS BIGINT) AS d2
+      FROM diffs GROUP BY vec_id, label),
+    ranked AS (
+      SELECT vec_id, label, d2,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY d2 DESC, vec_id ASC) AS rnk
+      FROM dist)
+    SELECT label, rnk, vec_id, d2 FROM ranked WHERE rnk <= 5
+    """,
+    covers=("R1", "A2", "J1", "W1"),
+    description=(
+        "per-class centroid outlier detection: scaled-integer distance to "
+        "the class centroid (no floats anywhere — exact, order-insensitive) "
+        "-> top-5 farthest per label"
+    ),
+)
+def embedding_outliers_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the 5 vectors farthest from their class
+    centroid, per class — the standard mislabeled-sample screen.
+
+    Determinism trick: the whole metric is INTEGER. Quantize each
+    component to 1e-3 (floor — identical both engines), and compare
+    against the centroid without dividing: for member count n and
+    per-dim component sum s, the scaled deviation is (vi*n - s) —
+    exact BIGINTs whose squared sum is order-insensitive, unlike any
+    float distance. Ranking on exact integers can't tie-break
+    differently across engines.
+
+    Shape: one explode → per-(label, dim) aggregate (tiny, broadcast
+    back) → map-only squared terms → per-vector aggregate → per-label
+    top-k window. No wide exchange of the corpus beyond the keyed
+    aggregates.
+    """
+    e = load_table(spark, sf_dir, "embeddings").where(F.col("label").isNotNull())
+    dims = (
+        e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "f"))
+        .where(F.col("f").isNotNull())
+        .select(
+            "vec_id",
+            "label",
+            (F.col("pos") + 1).alias("dim"),
+            F.floor(F.col("f").cast("double") * 1000.0).cast("long").alias("vi"),
+        )
+    )
+    stats = dims.groupBy("label", "dim").agg(
+        F.sum("vi").alias("s"), F.count_distinct("vec_id").alias("n")
+    )
+    diffs = dims.join(F.broadcast(stats), ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        (
+            (F.col("vi") * F.col("n") - F.col("s"))
+            * (F.col("vi") * F.col("n") - F.col("s"))
+        ).alias("d2_term"),
+    )
+    dist = diffs.groupBy("vec_id", "label").agg(F.sum("d2_term").alias("d2"))
+    w = Window.partitionBy("label").orderBy(
+        F.col("d2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select("label", "rnk", "vec_id", F.col("d2").cast("long").alias("d2"))
+    )
