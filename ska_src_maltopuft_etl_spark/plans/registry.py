@@ -108,6 +108,7 @@ _TAIL = [
     "hierarchy_rollup_paths",
     "event_transition_matrix",
     "embedding_outliers_per_label",
+    "histogram_equi_depth",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

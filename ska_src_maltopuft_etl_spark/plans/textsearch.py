@@ -1549,3 +1549,46 @@ def embedding_outliers_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 5)
         .select("label", "rnk", "vec_id", F.col("d2").cast("long").alias("d2"))
     )
+
+
+@register(
+    "histogram_equi_depth",
+    oracle="""
+    WITH b AS (
+      SELECT o_totalprice,
+             NTILE(8) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bin
+      FROM orders)
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS bin_min,
+           ROUND(MAX(o_totalprice), 2) AS bin_max
+    FROM b GROUP BY bin
+    """,
+    covers=("A2", "W6"),
+    description=(
+        "equi-depth histogram: NTILE(8) over a total order (value + key "
+        "tie-break, so bucket assignment is deterministic), per-bin stats"
+    ),
+)
+def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-population distribution profile — the complement of the
+    fixed-width `histogram_order_totals` (equi-depth bins adapt to
+    skewed value distributions; fixed-width bins show the shape).
+
+    NTILE needs a global total order — a single-partition window, the
+    documented local-scale formulation. At 100 TB swap the exact NTILE
+    for the quantile-boundary approach `sinks/zorder.py` uses (GK
+    sketch boundaries + broadcast bucket lookup) — same output shape,
+    approximate boundaries, no global sort.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_totalprice", F.ntile(8).over(w).alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("bin_min"),
+            F.round(F.max("o_totalprice"), 2).alias("bin_max"),
+        )
+    )
