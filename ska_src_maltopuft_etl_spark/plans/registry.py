@@ -109,6 +109,8 @@ _TAIL = [
     "event_transition_matrix",
     "embedding_outliers_per_label",
     "histogram_equi_depth",
+    "decile_revenue_share",
+    "text_ngram_novelty",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1592,3 +1592,128 @@ def histogram_equi_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("bin_max"),
         )
     )
+
+
+@register(
+    "decile_revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS rev_cents
+      FROM orders GROUP BY o_custkey),
+    dec AS (
+      SELECT o_custkey, rev_cents,
+             NTILE(10) OVER (ORDER BY rev_cents DESC, o_custkey ASC) AS decile
+      FROM rev),
+    per AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(rev_cents) AS BIGINT) AS decile_cents
+      FROM dec GROUP BY decile),
+    tot AS (SELECT CAST(SUM(decile_cents) AS BIGINT) AS total FROM per)
+    SELECT decile, n_customers, decile_cents,
+           CAST(decile_cents AS DOUBLE) / CAST(tot.total AS DOUBLE) AS rev_share
+    FROM per CROSS JOIN tot
+    """,
+    covers=("A2", "W6", "J1"),
+    description=(
+        "Pareto/Lorenz analysis: customer revenue deciles and each decile's "
+        "share of total revenue; cents-integer sums keep every aggregate "
+        "exact"
+    ),
+)
+def decile_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 80/20 concentration profile of customer revenue.
+
+    Revenue is aggregated in integer cents (floor once per order row,
+    then exact BIGINT sums all the way up), deciles come from NTILE
+    over a total order, and the only float is the final share
+    division. NTILE's global sort is the local formulation — the
+    scale path is quantile boundaries, as `histogram_equi_depth`
+    documents.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long")).alias(
+            "rev_cents"
+        )
+    )
+    w = Window.orderBy(F.col("rev_cents").desc(), F.col("o_custkey").asc())
+    dec = rev.select("rev_cents", F.ntile(10).over(w).alias("decile"))
+    per = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev_cents").alias("decile_cents"),
+    )
+    tot = per.agg(F.sum("decile_cents").alias("total"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (
+            F.col("decile_cents").cast("double") / F.col("total").cast("double")
+        ).alias("rev_share"),
+    )
+
+
+@register(
+    "text_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS t
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[u.g:u.g+2], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(g)),
+    firsts AS (
+      SELECT shingle, CAST(MIN(doc_id) AS BIGINT) AS first_doc
+      FROM sh GROUP BY shingle),
+    per_doc AS (
+      SELECT sh.doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_shingles,
+             CAST(SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_novel
+      FROM sh JOIN firsts f ON f.shingle = sh.shingle
+      GROUP BY sh.doc_id)
+    SELECT doc_id, n_shingles, n_novel,
+           CAST(n_novel AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty
+    FROM per_doc
+    """,
+    covers=("R1", "A2", "J1"),
+    description=(
+        "corpus-order n-gram novelty: fraction of a doc's 3-grams whose "
+        "FIRST corpus occurrence (min doc id) is this doc — the diversity/"
+        "staleness signal curation uses to cap near-template content"
+    ),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc novelty: how much of this document's phrasing is first
+    seen HERE (in doc-id order)?
+
+    One distinct-shingle build (shared exchange), a min-doc-id
+    aggregate per shingle (first-occurrence attribution — the same
+    keep-first semantics as exact dedup, lifted to n-gram granularity),
+    and a join back for the per-doc ratio. Everything is integers
+    except one final division.
+    """
+    d = _docs(spark, sf_dir)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_novel",
+        (
+            F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+    )
