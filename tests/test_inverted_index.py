@@ -129,3 +129,41 @@ def test_streaming_index_maintenance(spark, tmp_path):
     assert [(r["doc_id"], r["score"]) for r in got] == [
         (r["doc_id"], r["score"]) for r in want
     ]
+
+
+def test_hot_bucket_compaction_preserves_search(spark, tmp_path):
+    """Many small appends fragment hot term-bucket directories; the
+    compaction sink rewrites one bucket dir in place (partition value
+    is directory-encoded, so inner files keep their columns) and
+    search results must be unchanged with fewer files."""
+    import glob
+
+    from ska_src_maltopuft_etl_spark.sinks.compaction import compact_parquet
+    from ska_src_maltopuft_etl_spark.sinks.inverted_index import (
+        update_inverted_index,
+    )
+
+    docs = load_table(spark, SF, "documents").localCheckpoint()
+    path = str(tmp_path / "idx")
+    build_inverted_index(docs.where(F.col("doc_id") < 100), path)
+    # fragment the index with several small appends
+    for lo in range(100, 400, 100):
+        update_inverted_index(
+            docs.where((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 100)),
+            path,
+        )
+
+    terms = ["spark", "hash"]
+    before = search_index(spark, path, terms, k=15).collect()
+
+    bucket = term_bucket_py("spark", 64)
+    bucket_dir = f"{path}/postings/term_bucket={bucket}"
+    n_before = len(glob.glob(f"{bucket_dir}/*.parquet"))
+    n_files = compact_parquet(spark, bucket_dir, target_file_mb=256)
+    n_after = len(glob.glob(f"{bucket_dir}/*.parquet"))
+    assert n_after == n_files <= 1 < n_before
+
+    after = search_index(spark, path, terms, k=15).collect()
+    assert [(r["doc_id"], r["score"]) for r in before] == [
+        (r["doc_id"], r["score"]) for r in after
+    ]
