@@ -111,6 +111,8 @@ _TAIL = [
     "histogram_equi_depth",
     "decile_revenue_share",
     "text_ngram_novelty",
+    "supply_graph_degree_profile",
+    "dup_rate_by_source",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

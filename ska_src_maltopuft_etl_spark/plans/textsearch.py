@@ -1717,3 +1717,90 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_novel").cast("double") / F.col("n_shingles").cast("double")
         ).alias("novelty"),
     )
+
+
+@register(
+    "supply_graph_degree_profile",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT l_partkey * 2 AS a, l_suppkey * 2 + 1 AS b
+      FROM lineitem),
+    edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+    deg AS (
+      SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      FROM edges GROUP BY a)
+    SELECT CASE WHEN node % 2 = 0 THEN 'part' ELSE 'supplier' END AS node_type,
+           degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1, 2
+    """,
+    covers=("A2", "J1"),
+    description=(
+        "degree distribution of the part-supplier graph per node type — the "
+        "structural profile read before choosing graph-algorithm parameters "
+        "(completes the degree/PageRank/CC graph-analytics set)"
+    ),
+)
+def supply_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node_type, degree) -> node count over the symmetrized supply
+    graph. Two keyed aggregates with map-side partials; the histogram
+    one reads what the first one wrote — no corpus rescan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = li.select(
+        (F.col("l_partkey") * 2).alias("a"),
+        (F.col("l_suppkey") * 2 + 1).alias("b"),
+    ).distinct()
+    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = edges.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return deg.groupBy(
+        F.when(F.col("node") % 2 == 0, "part").otherwise("supplier").alias(
+            "node_type"
+        ),
+        "degree",
+    ).agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "dup_rate_by_source",
+    oracle="""
+    WITH fp AS (
+      SELECT source, md5(text) AS fingerprint
+      FROM documents),
+    per AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT fingerprint) AS BIGINT) AS n_unique
+      FROM fp GROUP BY source)
+    SELECT source, n_docs, n_unique,
+           CAST(n_docs - n_unique AS BIGINT) AS n_dup,
+           CAST(n_docs - n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS dup_rate
+    FROM per
+    """,
+    covers=("S4", "A3", "A2"),
+    description=(
+        "per-source exact-duplicate rate — the curation dashboard metric "
+        "deciding which ingestion sources need dedup attention; one "
+        "distinct-agg pass"
+    ),
+)
+def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup pressure per ingestion source: docs, uniques, dup
+    count, dup rate (one division of exact integers)."""
+    d = _docs(spark, sf_dir)
+    per = d.select("source", F.md5("text").alias("fp")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("fp").alias("n_unique"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        (F.col("n_docs") - F.col("n_unique")).alias("n_dup"),
+        (
+            (F.col("n_docs") - F.col("n_unique")).cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
