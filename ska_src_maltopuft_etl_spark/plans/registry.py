@@ -113,6 +113,7 @@ _TAIL = [
     "text_ngram_novelty",
     "supply_graph_degree_profile",
     "dup_rate_by_source",
+    "interval_union_coverage",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -1804,3 +1804,112 @@ def dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval union (sweep-line coverage) per user
+# ---------------------------------------------------------------------------
+
+@register(
+    "interval_union_coverage",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + INTERVAL 30 MINUTE AS e
+      FROM events),
+    ordered AS (
+      SELECT user_id, s, e,
+             MAX(epoch_us(e)) OVER (
+               PARTITION BY user_id ORDER BY s, e, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+      FROM iv),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max IS NULL OR epoch_us(s) > prev_max
+                  THEN 1 ELSE 0 END AS new_island
+      FROM ordered),
+    islands AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged),
+    spans AS (
+      SELECT user_id, island,
+             CAST((MAX(epoch_us(e)) - MIN(epoch_us(s))) // 1000000 AS BIGINT)
+               AS span_s
+      FROM islands GROUP BY user_id, island)
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(span_s) AS BIGINT) AS covered_s,
+           CAST(MAX(span_s) AS BIGINT) AS longest_s
+    FROM spans GROUP BY user_id
+    """,
+    covers=("W4", "A2", "P7"),
+    description=(
+        "interval union via sweep line: running-max window finds island "
+        "boundaries, cumulative-sum assigns island ids, per-island span "
+        "aggregates — merge-overlapping-intervals without a self-join"
+    ),
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Total covered time per user when each event opens a 30-minute
+    activity window — the merge-overlapping-intervals operator
+    (billing coverage, uptime stitching, session unioning).
+
+    Sweep line, not a self-join: within each user order intervals by
+    (start, end, id), compute the running max of prior ends — a start
+    beyond it opens a new island; a cumulative sum of those flags IS
+    the island id. Two windows over ONE sort + two keyed aggregates;
+    the O(n²) overlap self-join never happens. All arithmetic is
+    epoch-integer.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("e"),
+    )
+    order = [F.col("s"), F.col("e"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max(F.unix_micros("e")).over(w_prev).isNull()
+            | (F.unix_micros("s") > F.max(F.unix_micros("e")).over(w_prev)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).alias("island"),
+    )
+    spans = islands.groupBy("user_id", "island").agg(
+        (
+            (F.max(F.unix_micros("e")) - F.min(F.unix_micros("s"))) / 1_000_000
+        )
+        .cast("long")
+        .alias("span_s")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum("span_s").cast("long").alias("covered_s"),
+        F.max("span_s").alias("longest_s"),
+    )
