@@ -114,6 +114,7 @@ _TAIL = [
     "supply_graph_degree_profile",
     "dup_rate_by_source",
     "interval_union_coverage",
+    "asof_join_nearest_action",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

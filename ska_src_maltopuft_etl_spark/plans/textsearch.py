@@ -1913,3 +1913,88 @@ def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span_s").cast("long").alias("covered_s"),
         F.max("span_s").alias("longest_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest as-of join (completes backward / forward / nearest)
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_join_nearest_action",
+    oracle="""
+    WITH err AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'error'),
+         pur AS (SELECT event_id, user_id, ts FROM events
+                 WHERE event_type = 'purchase'),
+         back AS (
+           SELECT e.event_id, p.event_id AS p_id, epoch_us(p.ts) AS p_us,
+                  epoch_us(e.ts) - epoch_us(p.ts) AS gap,
+                  ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                     ORDER BY p.ts DESC, p.event_id DESC) AS rn
+           FROM err e JOIN pur p ON p.user_id = e.user_id AND p.ts <= e.ts),
+         fwd AS (
+           SELECT e.event_id, p.event_id AS p_id, epoch_us(p.ts) AS p_us,
+                  epoch_us(p.ts) - epoch_us(e.ts) AS gap,
+                  ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                     ORDER BY p.ts ASC, p.event_id DESC) AS rn
+           FROM err e JOIN pur p ON p.user_id = e.user_id AND p.ts >= e.ts)
+    SELECT e.event_id,
+           CASE WHEN b.p_id IS NOT NULL
+                     AND (f.p_id IS NULL OR b.gap <= f.gap)
+                THEN b.p_id ELSE f.p_id END AS nearest_purchase_id,
+           CASE WHEN b.p_id IS NOT NULL
+                     AND (f.p_id IS NULL OR b.gap <= f.gap)
+                THEN b.gap ELSE f.gap END AS gap_us
+    FROM err e
+    LEFT JOIN back b ON b.event_id = e.event_id AND b.rn = 1
+    LEFT JOIN fwd f ON f.event_id = e.event_id AND f.rn = 1
+    """,
+    covers=("J6", "W6", "P7"),
+    description=(
+        "NEAREST as-of join (backward-preferred on gap ties): composition "
+        "of the backward and forward one-shuffle passes + per-row pick — "
+        "completing the backward/forward/nearest family"
+    ),
+)
+def asof_join_nearest_action(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest purchase (either direction) for each error event.
+
+    pandas-`merge_asof(direction='nearest')` semantics with a defined
+    tie rule (backward wins equal gaps). Two one-shuffle as-of passes
+    over the same by-keys plus a map-only pick — still no range-join
+    row explosion at any scale.
+    """
+    from ska_src_maltopuft_etl_spark.operators import (
+        asof_join_backward,
+        asof_join_forward,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    pur = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("event_id").alias("p_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    kwargs = dict(
+        left_on="ts", right_on="p_ts", by=["user_id"], right_tiebreak=["p_id"]
+    )
+    b = asof_join_backward(err, pur, right_prefix="b_", **kwargs)
+    f = asof_join_forward(err, pur, right_prefix="f_", **kwargs)
+    both = b.join(
+        f.select("event_id", "f_p_id", "f_p_ts"), "event_id", "left"
+    )
+    b_gap = F.unix_micros("ts") - F.unix_micros("b_p_ts")
+    f_gap = F.unix_micros("f_p_ts") - F.unix_micros("ts")
+    pick_back = F.col("b_p_id").isNotNull() & (
+        F.col("f_p_id").isNull() | (b_gap <= f_gap)
+    )
+    return both.select(
+        "event_id",
+        F.when(pick_back, F.col("b_p_id"))
+        .otherwise(F.col("f_p_id"))
+        .alias("nearest_purchase_id"),
+        F.when(pick_back, b_gap).otherwise(f_gap).alias("gap_us"),
+    )
