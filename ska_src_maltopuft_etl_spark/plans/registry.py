@@ -115,6 +115,7 @@ _TAIL = [
     "dup_rate_by_source",
     "interval_union_coverage",
     "asof_join_nearest_action",
+    "activity_bitmap_segments",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

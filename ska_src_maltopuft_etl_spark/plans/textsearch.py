@@ -1998,3 +1998,64 @@ def asof_join_nearest_action(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("nearest_purchase_id"),
         F.when(pick_back, b_gap).otherwise(f_gap).alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index user segmentation (activity bitmask analytics)
+# ---------------------------------------------------------------------------
+
+_BITMAP_LAST7 = ((1 << 30) - 1) - ((1 << 23) - 1)  # bits 23..29 (last 7 days)
+
+
+@register(
+    "activity_bitmap_segments",
+    oracle=f"""
+    WITH days AS (
+      SELECT user_id,
+             date_diff('day', DATE '2024-01-01', ts) AS day
+      FROM events),
+    masks AS (
+      SELECT user_id,
+             CAST(bit_or(CAST(power(2.0, day) AS BIGINT)) AS BIGINT) AS mask
+      FROM days GROUP BY user_id)
+    SELECT user_id, mask,
+           CAST(bit_count(mask) AS BIGINT) AS n_active_days,
+           CAST(bit_count(mask & {_BITMAP_LAST7}) AS BIGINT)
+             AS active_last7_days,
+           bit_count(mask) >= 10 AS engaged
+    FROM masks
+    """,
+    covers=("A2", "P4"),
+    description=(
+        "bitmap-index segmentation: per-user 30-day activity bitmask via "
+        "bit_or aggregate, membership questions (active-days, last-7 "
+        "activity, engagement flag) answered with bit_count — the "
+        "ClickHouse-retention-style formulation, one aggregate, no joins"
+    ),
+)
+def activity_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user day-activity bitmask over the 30-day event window.
+
+    Each (user, day) sets bit `day`; the per-user OR-fold compresses a
+    month of activity into ONE BIGINT, after which every segmentation
+    question (how many active days? active in the last 7? engaged?)
+    is a bit_count — no re-scan, no joins, no arrays. The day shift is
+    `pow(2.0, day)` cast to long (exact for day < 53 — NOTES round-2
+    gotcha: Spark's shiftleft takes only literal shift amounts).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+    masks = (
+        ev.select("user_id", F.pow(F.lit(2.0), day).cast("long").alias("bit"))
+        .groupBy("user_id")
+        .agg(F.bit_or("bit").alias("mask"))
+    )
+    return masks.select(
+        "user_id",
+        "mask",
+        F.bit_count("mask").cast("long").alias("n_active_days"),
+        F.bit_count(F.expr(f"mask & {_BITMAP_LAST7}"))
+        .cast("long")
+        .alias("active_last7_days"),
+        (F.bit_count("mask") >= 10).alias("engaged"),
+    )
