@@ -116,6 +116,8 @@ _TAIL = [
     "interval_union_coverage",
     "asof_join_nearest_action",
     "activity_bitmap_segments",
+    "association_rules_lift",
+    "time_weighted_average_value",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

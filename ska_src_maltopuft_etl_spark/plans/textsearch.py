@@ -2059,3 +2059,152 @@ def activity_bitmap_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("active_last7_days"),
         (F.bit_count("mask") >= 10).alias("engaged"),
     )
+
+
+@register(
+    "association_rules_lift",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    n_baskets AS (
+      SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS nb FROM items),
+    item_n AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+      FROM items GROUP BY l_partkey),
+    pair_n AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(COUNT(*) AS BIGINT) AS n_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey)
+    SELECT p.part_a, p.part_b, p.n_ab,
+           CAST(p.n_ab AS DOUBLE) / CAST(nb.nb AS DOUBLE) AS support,
+           CAST(p.n_ab AS DOUBLE) / CAST(na.n AS DOUBLE) AS confidence,
+           CAST(p.n_ab * nb.nb AS DOUBLE) / CAST(na.n * nb2.n AS DOUBLE)
+             AS lift
+    FROM pair_n p
+    JOIN item_n na ON na.l_partkey = p.part_a
+    JOIN item_n nb2 ON nb2.l_partkey = p.part_b
+    CROSS JOIN n_baskets nb
+    WHERE p.n_ab >= 2
+    ORDER BY lift DESC, p.part_a ASC, p.part_b ASC
+    LIMIT 50
+    """,
+    covers=("J1", "A2", "W6"),
+    description=(
+        "association rules over order baskets: support / confidence / lift "
+        "(lift = n_ab*N / (n_a*n_b) — pure integer products, one division, "
+        "no log) for the top-50 pairs by lift"
+    ),
+)
+def association_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support/confidence/lift for co-purchased part pairs — the metric
+    layer on top of `frequent_itemset_pairs`' candidate generation.
+
+    Lift is computed as the integer-product ratio (n_ab * N) /
+    (n_a * n_b) rather than through logs — exact inputs, one correctly
+    rounded division, bit-reproducible. Item counts broadcast back to
+    the pair aggregate (item table << pair table).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    nb = items.agg(F.count_distinct("l_orderkey").alias("nb"))
+    item_n = items.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n"))
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pair_n = (
+        a.join(b, "l_orderkey")
+        .where(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    na = item_n.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    nb2 = item_n.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    return (
+        pair_n.join(F.broadcast(na), "part_a")
+        .join(F.broadcast(nb2), "part_b")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            (F.col("n_ab").cast("double") / F.col("nb").cast("double")).alias(
+                "support"
+            ),
+            (F.col("n_ab").cast("double") / F.col("n_a").cast("double")).alias(
+                "confidence"
+            ),
+            (
+                (F.col("n_ab") * F.col("nb")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), F.col("part_a").asc(), F.col("part_b").asc())
+        .limit(50)
+    )
+
+
+@register(
+    "time_weighted_average_value",
+    oracle="""
+    WITH pts AS (
+      SELECT user_id, ts, event_id,
+             CAST(FLOOR(value * 1000.0) AS BIGINT) AS v_milli,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM events),
+    seg AS (
+      SELECT user_id, v_milli,
+             (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS dur_s
+      FROM pts WHERE next_ts IS NOT NULL)
+    SELECT user_id,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(v_milli * dur_s) AS BIGINT) AS weighted_milli_s,
+           CAST(SUM(v_milli * dur_s) AS DOUBLE) / CAST(SUM(dur_s) AS DOUBLE)
+             AS twap_milli
+    FROM seg GROUP BY user_id
+    """,
+    covers=("W4", "A2"),
+    description=(
+        "time-weighted average (TWAP/step-function integral): lead window "
+        "gives each observation's holding duration; integer value*seconds "
+        "sums keep the integral exact"
+    ),
+)
+def time_weighted_average_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Step-function time integral per user: each event's value holds
+    until the next event; TWAP = integral / duration.
+
+    The metric behind TWAP pricing, utilization/OEE, and
+    state-duration analytics. One lead window (total-order tie-break),
+    then exact BIGINT sums of value x seconds — the float-weighted
+    alternative is not reproducible; the final division is.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = ev.select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 1000.0).cast("long").alias("v_milli"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).where(F.col("next_ts").isNotNull())
+    seg = pts.select(
+        "user_id",
+        "v_milli",
+        (
+            (F.unix_micros("next_ts") - F.unix_micros("ts")) / 1_000_000
+        )
+        .cast("long")
+        .alias("dur_s"),
+    )
+    return seg.groupBy("user_id").agg(
+        F.sum("dur_s").cast("long").alias("total_s"),
+        F.sum(F.col("v_milli") * F.col("dur_s")).cast("long").alias(
+            "weighted_milli_s"
+        ),
+        (
+            F.sum(F.col("v_milli") * F.col("dur_s")).cast("double")
+            / F.sum("dur_s").cast("double")
+        ).alias("twap_milli"),
+    )
