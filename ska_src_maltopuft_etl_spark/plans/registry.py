@@ -118,6 +118,9 @@ _TAIL = [
     "activity_bitmap_segments",
     "association_rules_lift",
     "time_weighted_average_value",
+    "gini_revenue_concentration",
+    "weekly_growth_rates",
+    "join_key_skew_report",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

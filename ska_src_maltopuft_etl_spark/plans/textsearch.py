@@ -2208,3 +2208,190 @@ def time_weighted_average_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("dur_s").cast("double")
         ).alias("twap_milli"),
     )
+
+
+@register(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents ASC, o_custkey ASC) AS i
+      FROM rev),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS total,
+             CAST(SUM(i * cents) AS BIGINT) AS weighted
+      FROM ranked)
+    SELECT n, total,
+           CAST(2 * weighted - (n + 1) * total AS DOUBLE)
+             / CAST(n * total AS DOUBLE) AS gini
+    FROM agg
+    """,
+    covers=("A2", "W6"),
+    description=(
+        "exact Gini coefficient of customer revenue: rank-weighted integer "
+        "sums (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) — one float division "
+        "at the very end"
+    ),
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-number concentration index completing the Lorenz/decile
+    analysis. Every term is an exact BIGINT (cents, ranks over a total
+    order); the closed-form Gini needs one division. The global
+    row_number is the local formulation — at scale use the
+    partition-offset ranking `surrogate_key(scalable=True)` provides.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
+    ranked = rev.select("cents", F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("total"),
+        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+    )
+    return agg.select(
+        "n",
+        "total",
+        (
+            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")).cast(
+                "double"
+            )
+            / (F.col("n") * F.col("total")).cast("double")
+        ).alias("gini"),
+    )
+
+
+@register(
+    "weekly_growth_rates",
+    oracle="""
+    WITH weekly AS (
+      SELECT event_type,
+             date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7 AS week,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2),
+    with_prev AS (
+      SELECT event_type, week, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+      FROM weekly)
+    SELECT event_type, CAST(week AS BIGINT) AS week, n, prev_n,
+           CASE WHEN prev_n IS NULL THEN NULL
+                ELSE CAST(n - prev_n AS DOUBLE) / CAST(prev_n AS DOUBLE) END
+             AS wow_growth
+    FROM with_prev
+    """,
+    covers=("W4", "A2", "P7"),
+    description=(
+        "week-over-week growth per event type: fixed-anchor week bucketing, "
+        "lag window, growth as one exact-integer division"
+    ),
+)
+def weekly_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WoW growth — the reporting metric layered on any time-bucketed
+    aggregate. Fixed-anchor week ids (no ISO-week engine differences),
+    one keyed aggregate + one lag window, growth from exact counts."""
+    ev = load_table(spark, sf_dir, "events")
+    week = (
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 7
+    ).cast("long")
+    weekly = ev.groupBy(
+        "event_type", week.alias("week")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("week")
+    wp = weekly.withColumn("prev_n", F.lag("n").over(w))
+    return wp.select(
+        "event_type",
+        "week",
+        "n",
+        "prev_n",
+        F.when(
+            F.col("prev_n").isNotNull(),
+            (F.col("n") - F.col("prev_n")).cast("double")
+            / F.col("prev_n").cast("double"),
+        ).alias("wow_growth"),
+    )
+
+
+@register(
+    "join_key_skew_report",
+    oracle="""
+    WITH o AS (
+      SELECT 'orders.o_custkey' AS key_name,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey)
+      CROSS JOIN (SELECT COUNT(*) FROM orders)),
+    l AS (
+      SELECT 'lineitem.l_orderkey' AS key_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM (SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem
+            GROUP BY l_orderkey)),
+    e AS (
+      SELECT 'events.user_id' AS key_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM events) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_key_rows
+      FROM (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)),
+    u AS (
+      SELECT key_name,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+             n_keys, max_key_rows
+      FROM o
+      UNION ALL SELECT * FROM l
+      UNION ALL SELECT * FROM e)
+    SELECT key_name, n_rows, n_keys, max_key_rows,
+           CAST(max_key_rows * n_keys AS DOUBLE) / CAST(n_rows AS DOUBLE)
+             AS skew_factor
+    FROM u
+    """,
+    covers=("A2", "A3", "U1"),
+    description=(
+        "join-key skew report across the three fact keys: rows, distinct "
+        "keys, hottest-key rows, and skew factor (hottest/average) — the "
+        "diagnostic read before choosing salting/AQE-skew settings"
+    ),
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-join-key skew profile: how much hotter is the hottest key
+    than the average? (skew_factor = max_key_rows / (n_rows/n_keys),
+    computed as the integer product ratio). The number that decides
+    between a plain shuffle join, AQE skew handling, and explicit
+    salting (`operators/skew.py`)."""
+    parts = []
+    for key_name, tbl, key in [
+        ("orders.o_custkey", "orders", "o_custkey"),
+        ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+        ("events.user_id", "events", "user_id"),
+    ]:
+        t = load_table(spark, sf_dir, tbl)
+        per = t.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            per.agg(
+                F.lit(key_name).alias("key_name"),
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.max("cnt").alias("max_key_rows"),
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return u.select(
+        "key_name",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        "n_keys",
+        "max_key_rows",
+        (
+            (F.col("max_key_rows") * F.col("n_keys")).cast("double")
+            / F.col("n_rows").cast("double")
+        ).alias("skew_factor"),
+    )
