@@ -62,8 +62,14 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
             # queries are independent; drop any intermediates a query
             # pinned so later timings aren't distorted by cache/GC
-            # pressure
+            # pressure. clearCache only unpins catalog-cached frames —
+            # localCheckpoint RDDs (the iterative/certification queries
+            # use ~18 of them) live in RDD storage and otherwise
+            # accumulate across the battery, degrading every later
+            # query via GC pressure (measured +40% battery drift).
             spark.catalog.clearCache()
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     # Round 2 postmortem: the single-line JSON with all 98 per-query
