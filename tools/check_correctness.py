@@ -70,6 +70,12 @@ def main() -> int:
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        # release any localCheckpoint storage the previous query pinned
+        # (clearCache doesn't cover RDD storage; it otherwise
+        # accumulates across the 136-query sweep — see bench.py)
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
