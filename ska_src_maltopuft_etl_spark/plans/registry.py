@@ -121,6 +121,7 @@ _TAIL = [
     "gini_revenue_concentration",
     "weekly_growth_rates",
     "join_key_skew_report",
+    "quantified_all_subquery",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -2395,3 +2395,64 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_rows").cast("double")
         ).alias("skew_factor"),
     )
+
+
+@register(
+    "quantified_all_subquery",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o
+    WHERE o.o_totalprice > ALL (
+            SELECT o2.o_totalprice FROM orders o2
+            WHERE o2.o_custkey = o.o_custkey
+              AND o2.o_orderkey <> o.o_orderkey)
+      AND EXISTS (
+            SELECT 1 FROM orders o3
+            WHERE o3.o_custkey = o.o_custkey
+              AND o3.o_orderkey <> o.o_orderkey)
+    """,
+    covers=("W1", "A2", "P6"),
+    description=(
+        "quantified subquery (> ALL siblings) decorrelated to one window "
+        "pass: strictly-greatest order per multi-order customer; the oracle "
+        "keeps the correlated ALL/EXISTS form, certifying the rewrite"
+    ),
+)
+def quantified_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders strictly greater than ALL the customer's other orders.
+
+    The correlated `> ALL` + EXISTS pair is the classic quantified-
+    subquery shape optimizers must decorrelate; here it is written
+    directly as the decorrelated plan — one window over (custkey)
+    computing group count and the top-2 prices, keeping rows where
+    n > 1 and price > second-highest (strictness: ties on the max
+    disqualify). One shuffle; no per-row subquery execution.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    rnk = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    annotated = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.row_number().over(rnk).alias("rk"),
+        F.max("o_totalprice").over(w).alias("mx"),
+        F.sum(
+            F.when(F.col("o_totalprice") == F.max("o_totalprice").over(w), 1)
+        )
+        .over(w)
+        .alias("n_at_max"),
+    )
+    return annotated.where(
+        (F.col("n") > 1)
+        & (F.col("rk") == 1)
+        & (F.col("n_at_max") == 1)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
