@@ -122,6 +122,7 @@ _TAIL = [
     "weekly_growth_rates",
     "join_key_skew_report",
     "quantified_all_subquery",
+    "cumulative_unique_users",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

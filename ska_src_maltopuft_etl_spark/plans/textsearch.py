@@ -2456,3 +2456,45 @@ def quantified_all_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round("o_totalprice", 2).alias("totalprice"),
     )
+
+
+@register(
+    "cumulative_unique_users",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id),
+    per_day AS (
+      SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS new_users
+      FROM firsts GROUP BY first_day)
+    SELECT CAST(day AS VARCHAR) AS day, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cumulative_users
+    FROM per_day
+    """,
+    covers=("A2", "W4", "A3"),
+    description=(
+        "cumulative-unique-users growth curve: first-seen attribution (MIN "
+        "date per user), daily new-user counts, exact-integer running sum"
+    ),
+)
+def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The activation growth curve: users attributed to their first-seen
+    day, cumulated. Distinct-counting over time done the scalable way —
+    attribute each user ONCE (min-date aggregate), then a daily count
+    and a running integer sum over the (tiny) per-day series, instead
+    of a per-day COUNT(DISTINCT) re-scan which is O(days x corpus)."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    per_day = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "new_users",
+        F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
+    )
