@@ -123,6 +123,7 @@ _TAIL = [
     "join_key_skew_report",
     "quantified_all_subquery",
     "cumulative_unique_users",
+    "robust_stats_mad",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -2498,3 +2498,60 @@ def cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+@register(
+    "robust_stats_mad",
+    oracle="""
+    WITH med AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.5) AS p50
+      FROM orders GROUP BY o_orderpriority),
+    dev AS (
+      SELECT o.o_orderpriority, ABS(o.o_totalprice - m.p50) AS adev
+      FROM orders o JOIN med m ON m.o_orderpriority = o.o_orderpriority)
+    SELECT d.o_orderpriority,
+           ROUND(m.p50, 4) AS p50,
+           ROUND(quantile_cont(d.adev, 0.5), 4) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3.0 * 50000.0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_far_outliers
+    FROM dev d JOIN med m ON m.o_orderpriority = d.o_orderpriority
+    GROUP BY d.o_orderpriority, m.p50
+    """,
+    covers=("A2", "J1"),
+    description=(
+        "robust statistics: median absolute deviation per group (two exact "
+        "interpolated-percentile passes; absolute deviation is one "
+        "fixed-order float expression) + fixed-threshold outlier counts"
+    ),
+)
+def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + MAD per order priority — the robust spread statistic
+    that mean/stddev-based monitors lack (one wild value moves stddev,
+    not MAD). Two-phase: group medians (tiny, broadcast back), then
+    the median of absolute deviations. Both medians use the exact
+    interpolated percentile (ordered aggregate — deterministic, unlike
+    a sampled approx quantile), and the deviation is a single
+    subtraction/abs both engines compute identically. The outlier
+    count uses a FIXED literal threshold — a data-derived float
+    threshold would put rows on representability boundaries."""
+    o = load_table(spark, sf_dir, "orders")
+    med = o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("p50")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        "p50",
+        F.abs(F.col("o_totalprice") - F.col("p50")).alias("adev"),
+    )
+    return dev.groupBy("o_orderpriority", "p50").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"),
+        F.sum(F.when(F.col("adev") > 3.0 * 50000.0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_far_outliers"),
+    ).select(
+        "o_orderpriority",
+        F.round("p50", 4).alias("p50"),
+        "mad",
+        "n_far_outliers",
+    )
