@@ -124,6 +124,7 @@ _TAIL = [
     "quantified_all_subquery",
     "cumulative_unique_users",
     "robust_stats_mad",
+    "dataset_drift_report",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

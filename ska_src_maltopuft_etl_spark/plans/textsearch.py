@@ -2555,3 +2555,83 @@ def robust_stats_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad",
         "n_far_outliers",
     )
+
+
+@register(
+    "dataset_drift_report",
+    oracle="""
+    WITH tagged AS (
+      SELECT lang,
+             CASE WHEN CAST(substr(source, 4) AS BIGINT) < 10
+                  THEN 'old' ELSE 'new' END AS cohort
+      FROM documents),
+    counts AS (
+      SELECT lang,
+             CAST(SUM(CASE WHEN cohort = 'old' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_old,
+             CAST(SUM(CASE WHEN cohort = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM tagged GROUP BY lang),
+    tot AS (
+      SELECT CAST(SUM(n_old) AS BIGINT) AS t_old,
+             CAST(SUM(n_new) AS BIGINT) AS t_new
+      FROM counts)
+    SELECT c.lang, c.n_old, c.n_new,
+           CAST(c.n_old AS DOUBLE) / CAST(t.t_old AS DOUBLE) AS share_old,
+           CAST(c.n_new AS DOUBLE) / CAST(t.t_new AS DOUBLE) AS share_new,
+           CAST(ABS(c.n_new * t.t_old - c.n_old * t.t_new) AS BIGINT)
+             AS drift_cross,
+           c.n_new * t.t_old > 2 * c.n_old * t.t_new
+             OR c.n_old * t.t_new > 2 * c.n_new * t.t_old AS drifted
+    FROM counts c CROSS JOIN tot t
+    """,
+    covers=("A2", "P7", "J1"),
+    description=(
+        "dataset drift report: language-mix comparison between corpus "
+        "cohorts; divergence and the 2x-drift flag evaluated on integer "
+        "cross-products (n_new*t_old vs n_old*t_new) — no float boundary "
+        "can flip the verdict"
+    ),
+)
+def dataset_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-monitoring drift check: did the language mix shift
+    between the old sources (src0-9) and the new ones (src10+)?
+
+    The drift verdict compares proportions WITHOUT dividing: share_new
+    > 2 x share_old iff n_new*t_old > 2*n_old*t_new — exact BIGINT
+    cross-products, so the flag can never flip on a float boundary
+    (the reported shares are display-only single divisions). One
+    aggregate over the corpus; the totals row broadcasts.
+    """
+    d = _docs(spark, sf_dir)
+    cohort = F.when(
+        F.substring("source", 4, 10).cast("long") < 10, "old"
+    ).otherwise("new")
+    counts = d.select("lang", cohort.alias("cohort")).groupBy("lang").agg(
+        F.sum(F.when(F.col("cohort") == "old", 1).otherwise(0)).alias("n_old"),
+        F.sum(F.when(F.col("cohort") == "new", 1).otherwise(0)).alias("n_new"),
+    )
+    tot = counts.agg(
+        F.sum("n_old").alias("t_old"), F.sum("n_new").alias("t_new")
+    )
+    j = counts.crossJoin(F.broadcast(tot))
+    return j.select(
+        "lang",
+        F.col("n_old").cast("long").alias("n_old"),
+        F.col("n_new").cast("long").alias("n_new"),
+        (F.col("n_old").cast("double") / F.col("t_old").cast("double")).alias(
+            "share_old"
+        ),
+        (F.col("n_new").cast("double") / F.col("t_new").cast("double")).alias(
+            "share_new"
+        ),
+        F.abs(
+            F.col("n_new") * F.col("t_old") - F.col("n_old") * F.col("t_new")
+        )
+        .cast("long")
+        .alias("drift_cross"),
+        (
+            (F.col("n_new") * F.col("t_old") > 2 * F.col("n_old") * F.col("t_new"))
+            | (F.col("n_old") * F.col("t_new") > 2 * F.col("n_new") * F.col("t_old"))
+        ).alias("drifted"),
+    )
