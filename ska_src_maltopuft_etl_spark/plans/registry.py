@@ -125,6 +125,7 @@ _TAIL = [
     "cumulative_unique_users",
     "robust_stats_mad",
     "dataset_drift_report",
+    "revenue_share_within_region",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -2635,3 +2635,70 @@ def dataset_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_old") * F.col("t_new") > 2 * F.col("n_new") * F.col("t_old"))
         ).alias("drifted"),
     )
+
+
+@register(
+    "revenue_share_within_region",
+    oracle="""
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name, n.n_name)
+    SELECT region, nation, cents,
+           CAST(cents AS DOUBLE)
+             / CAST(SUM(cents) OVER (PARTITION BY region) AS DOUBLE)
+             AS share_in_region,
+           RANK() OVER (PARTITION BY region ORDER BY cents DESC, nation ASC)
+             AS rank_in_region
+    FROM nat
+    """,
+    covers=("W6", "A2", "J1"),
+    description=(
+        "percent-of-total window (ratio_to_report): nation revenue share "
+        "within region — the group-total window over exact integer cents, "
+        "so the share division is the only float"
+    ),
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share-of-total within a hierarchy level — the ratio_to_report
+    pattern (Oracle's name for it) every BI layer needs. The window
+    SUM runs over exact integer cents (order-insensitive), so the
+    share is one deterministic division; rank has a total-order
+    tie-break. Joins: nation/region broadcast (fixed dims), customer
+    left to AQE per the repo broadcast policy."""
+    o = load_table(spark, sf_dir, "orders")
+    cst = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    base = (
+        o.join(cst, o["o_custkey"] == cst["c_custkey"])
+        .join(F.broadcast(nat), cst["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long")).alias(
+                "cents"
+            )
+        )
+    )
+    w = Window.partitionBy("region")
+    wr = Window.partitionBy("region").orderBy(
+        F.col("cents").desc(), F.col("nation").asc()
+    )
+    return base.select(
+        "region",
+        "nation",
+        "cents",
+        (
+            F.col("cents").cast("double")
+            / F.sum("cents").over(w).cast("double")
+        ).alias("share_in_region"),
+        F.rank().over(wr).alias("rank_in_region"),
+    )
