@@ -126,6 +126,7 @@ _TAIL = [
     "robust_stats_mad",
     "dataset_drift_report",
     "revenue_share_within_region",
+    "null_profile_report",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -2702,3 +2702,80 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("share_in_region"),
         F.rank().over(wr).alias("rank_in_region"),
     )
+
+
+@register(
+    "null_profile_report",
+    oracle="""
+    SELECT 'orders' AS tbl, 'o_comment_missing' AS metric,
+           CAST(0 AS BIGINT) AS n_null,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM orders
+    UNION ALL
+    SELECT 'events', 'props_null',
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'value_null',
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'documents', 'text_empty',
+           CAST(SUM(CASE WHEN text IS NULL OR text = '' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(COUNT(*) AS BIGINT)
+    FROM documents
+    """,
+    covers=("A4", "A2", "U1"),
+    description=(
+        "null/empty-value profile across tables in single-scan aggregates "
+        "(conditional-sum null counting, the profiling pass run before "
+        "every ingestion) — unioned into one report frame"
+    ),
+)
+def null_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table completeness profile: one scan per table computes
+    ALL its null/empty metrics as conditional sums (never one job per
+    column), unioned into a single report. The same one-scan shape
+    `operators/expectations.py` generalizes; this is the fixed-metric
+    profiling twin with a full value-hash oracle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    d = _docs(spark, sf_dir)
+    rows_o = o.agg(
+        F.lit("orders").alias("tbl"),
+        F.lit("o_comment_missing").alias("metric"),
+        F.lit(0).cast("long").alias("n_null"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    ev_counts = ev.agg(
+        F.sum(F.when(F.col("props").isNull(), 1).otherwise(0)).alias("p_null"),
+        F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).alias("v_null"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    rows_ev1 = ev_counts.select(
+        F.lit("events").alias("tbl"),
+        F.lit("props_null").alias("metric"),
+        F.col("p_null").cast("long").alias("n_null"),
+        F.col("n").alias("n_rows"),
+    )
+    rows_ev2 = ev_counts.select(
+        F.lit("events").alias("tbl"),
+        F.lit("value_null").alias("metric"),
+        F.col("v_null").cast("long").alias("n_null"),
+        F.col("n").alias("n_rows"),
+    )
+    rows_d = d.agg(
+        F.lit("documents").alias("tbl"),
+        F.lit("text_empty").alias("metric"),
+        F.sum(
+            F.when(F.col("text").isNull() | (F.col("text") == ""), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_null"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return rows_o.unionByName(rows_ev1).unionByName(rows_ev2).unionByName(rows_d)
