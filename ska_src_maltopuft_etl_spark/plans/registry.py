@@ -127,6 +127,7 @@ _TAIL = [
     "dataset_drift_report",
     "revenue_share_within_region",
     "null_profile_report",
+    "mmr_diverse_rerank",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -2779,3 +2779,153 @@ def null_profile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
     )
     return rows_o.unionByName(rows_ev1).unionByName(rows_ev2).unionByName(rows_d)
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (unrolled greedy, declarative)
+# ---------------------------------------------------------------------------
+
+def _mmr_oracle(k: int = 5, lam: str = "0.5") -> str:
+    head = """
+    WITH qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+                WHERE vec_id = 0),
+    rel AS (
+      SELECT e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.v), 5)
+               AS rel
+      FROM embeddings e, qv WHERE e.vec_id <> 0
+      ORDER BY rel DESC, e.vec_id ASC LIMIT 10),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             ROUND(list_cosine_similarity(
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = a.vec_id),
+               (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+                WHERE vec_id = b.vec_id)), 5) AS sim
+      FROM rel a JOIN rel b ON a.vec_id <> b.vec_id),
+    sel1 AS (
+      SELECT vec_id, rel, 1 AS pick
+      FROM rel ORDER BY rel DESC, vec_id ASC LIMIT 1)"""
+    steps = []
+    for i in range(2, k + 1):
+        prev_sels = " UNION ALL ".join(
+            f"SELECT vec_id FROM sel{j}" for j in range(1, i)
+        )
+        steps.append(f"""
+    cand{i} AS (
+      SELECT r.vec_id, r.rel,
+             (SELECT MAX(p.sim) FROM pair p
+              WHERE p.ia = r.vec_id
+                AND p.ib IN ({prev_sels})) AS maxsim
+      FROM rel r WHERE r.vec_id NOT IN ({prev_sels})),
+    sel{i} AS (
+      SELECT vec_id, rel, {i} AS pick
+      FROM (SELECT vec_id, rel,
+                   {lam} * rel - (1.0 - {lam}) * maxsim AS score
+            FROM cand{i})
+      ORDER BY score DESC, vec_id ASC LIMIT 1)""")
+    union = " UNION ALL ".join(f"SELECT * FROM sel{j}" for j in range(1, k + 1))
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(pick AS BIGINT) AS pick, vec_id, rel
+    FROM ({union}) ORDER BY pick"""
+    )
+
+
+@register(
+    "mmr_diverse_rerank",
+    oracle=_mmr_oracle(),
+    covers=("J1", "W1", "W6"),
+    description=(
+        "MMR diversity re-ranking (lambda=0.5, k=5 from a top-10 pool): the "
+        "greedy unrolled as five declarative argmax steps over the bounded "
+        "candidate frame — no driver-side selection loop state"
+    ),
+)
+def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance: pick 5 results balancing relevance
+    against redundancy (score = l*rel - (1-l)*max sim to already-picked).
+
+    The greedy is inherently sequential, but its POOL is bounded (the
+    top-10 candidates), so each step is a declarative argmax over a
+    10-row frame: join remaining candidates to the picked set, take
+    MAX pairwise sim, score, orderBy-limit-1. Five unrolled steps keep
+    the whole thing one lazy Catalyst plan — no collect, no loop
+    state. All scores derive from 5dp-rounded cosines: exact linear
+    combinations with total-order tie-breaks, bit-reproducible.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    c = e.where(F.col("vec_id") != 0)
+    rel = (
+        similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=10)
+        .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
+        .localCheckpoint()  # 10 rows; pins the pool for the 5 steps
+    )
+    from ska_src_maltopuft_etl_spark.operators.similarity import (
+        _as_double_vec,
+        dot_expr,
+        l2_norm,
+        vector_dim,
+    )
+
+    dim = vector_dim(c, "embedding")
+    vecs = c.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    pool = rel.select("vec_id").join(
+        vecs, rel["vec_id"] == vecs["ia"]
+    ).select("ia", "va")
+    # pairwise candidate-candidate cosines (10x10 frame, JVM-side fold)
+    pv = pool.select("ia", _as_double_vec(F.col("va")).alias("da"))
+    pv = pv.withColumn("na", l2_norm(F.col("da")))
+    pvb = pv.select(
+        F.col("ia").alias("ib"), F.col("da").alias("db"), F.col("na").alias("nb")
+    )
+    pairs = (
+        pv.crossJoin(pvb)
+        .where(F.col("ia") != F.col("ib"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                dot_expr("da", "db", dim) / (F.col("na") * F.col("nb")), 5
+            ).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+
+    lam = F.lit(0.5)
+    selected = rel.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
+        1
+    ).select("vec_id", "rel", F.lit(1).alias("pick"))
+    all_sel = selected
+    for i in range(2, 6):
+        picked_ids = all_sel.select(F.col("vec_id").alias("ib"))
+        remaining = rel.join(
+            all_sel.select("vec_id"), "vec_id", "left_anti"
+        )
+        maxsim = (
+            pairs.join(F.broadcast(picked_ids), "ib")
+            .groupBy("ia")
+            .agg(F.max("sim").alias("maxsim"))
+        )
+        scored = remaining.join(
+            maxsim, remaining["vec_id"] == maxsim["ia"]
+        ).select(
+            "vec_id",
+            "rel",
+            (lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("maxsim")).alias(
+                "score"
+            ),
+        )
+        nxt = (
+            scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .select("vec_id", "rel", F.lit(i).alias("pick"))
+        )
+        all_sel = all_sel.unionByName(nxt).localCheckpoint()
+    return all_sel.select(
+        F.col("pick").cast("long").alias("pick"), "vec_id", "rel"
+    ).orderBy("pick")
