@@ -128,6 +128,7 @@ _TAIL = [
     "revenue_share_within_region",
     "null_profile_report",
     "mmr_diverse_rerank",
+    "conversion_wilson_ci",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -2929,3 +2929,82 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_sel.select(
         F.col("pick").cast("long").alias("pick"), "vec_id", "rel"
     ).orderBy("pick")
+
+
+@register(
+    "conversion_wilson_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM events GROUP BY user_id),
+    agg AS (
+      SELECT CAST(SUM(saw) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN saw = 1 THEN converted ELSE 0 END) AS BIGINT)
+               AS k
+      FROM per_user)
+    SELECT n, k,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+              - 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                            / CAST(n AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lo,
+           ((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+              + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE))
+              + 1.96 * sqrt(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                             + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)))
+                            / CAST(n AS DOUBLE)))
+             / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_hi
+    FROM agg
+    """,
+    covers=("A2", "P7"),
+    description=(
+        "conversion rate with Wilson 95% confidence bounds — the A/B-test "
+        "statistic computed bit-reproducibly (sqrt IS correctly rounded per "
+        "IEEE 754, unlike ln/erf; every other op is +,-,*,/ in one fixed "
+        "order)"
+    ),
+)
+def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View→purchase conversion with a Wilson score interval.
+
+    The interval estimators analysts actually need (Wilson beats the
+    normal approximation at small k) built from exact integer (n, k)
+    and a formula containing only +,-,*,/ and sqrt — all of which
+    IEEE 754 requires to be correctly rounded, so writing the SAME
+    expression tree in both engines yields identical bits. (A z-test
+    p-value would need erf — not reproducible; the CI carries the
+    same decision information.)
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "conv"
+        ),
+    )
+    agg = per_user.agg(
+        F.sum("saw").alias("n"),
+        F.sum(F.when(F.col("saw") == 1, F.col("conv")).otherwise(0)).alias("k"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("k").cast("double") / n
+    z2 = F.lit(1.96) * F.lit(1.96)
+    center = p + z2 / (F.lit(2.0) * n)
+    margin = F.lit(1.96) * F.sqrt(
+        (p * (F.lit(1.0) - p) + z2 / (F.lit(4.0) * n)) / n
+    )
+    denom = F.lit(1.0) + z2 / n
+    return agg.select(
+        "n",
+        "k",
+        p.alias("p_hat"),
+        ((center - margin) / denom).alias("wilson_lo"),
+        ((center + margin) / denom).alias("wilson_hi"),
+    )
