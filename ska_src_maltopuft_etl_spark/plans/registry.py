@@ -129,6 +129,7 @@ _TAIL = [
     "null_profile_report",
     "mmr_diverse_rerank",
     "conversion_wilson_ci",
+    "cusum_changepoint",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

@@ -3008,3 +3008,82 @@ def conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - margin) / denom).alias("wilson_lo"),
         ((center + margin) / denom).alias("wilson_hi"),
     )
+
+
+@register(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type,
+             CAST(SUM(x) AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY event_type),
+    cusum AS (
+      SELECT d.event_type, d.day,
+             CAST(SUM(d.x * tt.nd - tt.t) OVER (
+               PARTITION BY d.event_type ORDER BY d.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS c
+      FROM daily d JOIN tot tt ON tt.event_type = d.event_type),
+    peak AS (
+      SELECT event_type, day, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY ABS(c) DESC, day ASC) AS rn
+      FROM cusum)
+    SELECT event_type, CAST(day AS VARCHAR) AS changepoint_day,
+           c AS cusum_at_peak
+    FROM peak WHERE rn = 1
+    """,
+    covers=("W4", "A2", "J1"),
+    description=(
+        "CUSUM changepoint detection per series: cumulative deviation from "
+        "the series mean computed as exact cross-multiplied integers "
+        "(x*n_days - total), peak |CUSUM| locates the level shift"
+    ),
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where did each event type's daily volume shift level?
+
+    Classic CUSUM: the running sum of deviations from the series mean
+    peaks (in absolute value) at the changepoint. Determinism trick
+    once more: deviations are (x * n_days - total) — the mean never
+    gets divided out, so every cumulative value is an exact BIGINT and
+    the argmax cannot tie-break differently across engines. One
+    aggregate, one broadcast of per-series totals, one window.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("x").alias("t"), F.count(F.lit(1)).alias("nd")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cusum = daily.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "day",
+        F.sum(F.col("x") * F.col("nd") - F.col("t"))
+        .over(w)
+        .cast("long")
+        .alias("c"),
+    )
+    rk = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("c")).desc(), F.col("day").asc()
+    )
+    return (
+        cusum.withColumn("rn", F.row_number().over(rk))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").cast("string").alias("changepoint_day"),
+            F.col("c").alias("cusum_at_peak"),
+        )
+    )
