@@ -130,6 +130,7 @@ _TAIL = [
     "mmr_diverse_rerank",
     "conversion_wilson_ci",
     "cusum_changepoint",
+    "exp_smoothing_daily",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

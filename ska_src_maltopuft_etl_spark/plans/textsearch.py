@@ -3087,3 +3087,70 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").alias("cusum_at_peak"),
         )
     )
+
+
+@register(
+    "exp_smoothing_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1, 2),
+    series AS (
+      SELECT event_type,
+             list(x ORDER BY day) AS xs,
+             CAST(COUNT(*) AS BIGINT) AS n_days
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n_days,
+           CAST(xs[len(xs)] AS BIGINT) AS last_raw,
+           CAST(list_reduce(xs, (acc, x) -> (acc * 3 + x) // 4) AS BIGINT)
+             AS ema_final
+    FROM series
+    """,
+    covers=("A2", "R1", "W6"),
+    description=(
+        "integer exponential smoothing (alpha=1/4 EMA as (acc*3+x) DIV 4): "
+        "the sequential recurrence no window aggregate can express, run as "
+        "an ordered per-series array fold — exact at every step"
+    ),
+)
+def exp_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final EMA of each event type's daily volume.
+
+    Exponential smoothing is a true recurrence (each state depends on
+    the previous output), which no window frame expresses — the
+    Spark-first shape is collect the (small) per-series array in time
+    order and FOLD it (`F.aggregate`, sequential by definition).
+    Integer fixed-point (s' = (3s + x) DIV 4) keeps every intermediate
+    exact, so the fold is bit-reproducible across engines — float EMA
+    would drift. Arrays here are days-per-series (bounded); for
+    unbounded series, segment + carry the state through
+    `incremental_agg`-style checkpoints.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    series = daily.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    xs = F.col("xs")
+    # (3s + x) DIV 4 — floor division on positive longs; expressed as
+    # (v - v % 4) / 4 to stay in Column algebra (DIV needs expr text)
+    ema = F.aggregate(
+        F.slice(xs, 2, F.size(xs) - 1),
+        F.element_at(xs, 1),
+        lambda acc, x: (
+            ((acc * 3 + x) - ((acc * 3 + x) % 4)) / 4
+        ).cast("long"),
+    ).cast("long")
+    return series.select(
+        "event_type",
+        "n_days",
+        F.element_at(xs, -1).cast("long").alias("last_raw"),
+        ema.alias("ema_final"),
+    )
