@@ -131,6 +131,7 @@ _TAIL = [
     "conversion_wilson_ci",
     "cusum_changepoint",
     "exp_smoothing_daily",
+    "rfm_segmentation",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

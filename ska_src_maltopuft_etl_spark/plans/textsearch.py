@@ -3154,3 +3154,78 @@ def exp_smoothing_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(xs, -1).cast("long").alias("last_raw"),
         ema.alias("ema_final"),
     )
+
+
+@register(
+    "rfm_segmentation",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', MAX(o_orderdate), DATE '1998-12-31')
+                  AS BIGINT) AS recency_days,
+             CAST(COUNT(*) AS BIGINT) AS frequency,
+             CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT)
+               AS monetary_cents
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary_cents,
+             NTILE(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS r,
+             NTILE(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS f,
+             NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC) AS m
+      FROM per_cust)
+    SELECT CAST(r AS BIGINT) AS r, CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           r || '-' || f || '-' || m AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(monetary_cents) AS BIGINT) AS segment_cents
+    FROM scored GROUP BY r, f, m
+    """,
+    covers=("A2", "W6", "F4"),
+    description=(
+        "RFM customer segmentation: recency/frequency/monetary quintiles "
+        "(total-order NTILEs over exact integers, fixed anchor date), "
+        "segment rollup with exact cents"
+    ),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CRM staple: score every customer 1-5 on recency, frequency,
+    and monetary value, then roll up the 125 segments. All three
+    inputs are exact integers (days to a FIXED anchor, counts, cents)
+    and every NTILE has a total-order tie-break, so quintile
+    boundaries cannot move between engines. NTILE's global sort is the
+    local formulation — quantile boundaries are the scale path, as
+    documented on `histogram_equi_depth`."""
+    o = load_table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit("1998-12-31").cast("date"), F.max(F.col("o_orderdate"))
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    wr = Window.orderBy(F.col("recency_days").asc(), F.col("o_custkey").asc())
+    wf = Window.orderBy(F.col("frequency").desc(), F.col("o_custkey").asc())
+    wm = Window.orderBy(
+        F.col("monetary_cents").desc(), F.col("o_custkey").asc()
+    )
+    scored = per.select(
+        "monetary_cents",
+        F.ntile(5).over(wr).alias("r"),
+        F.ntile(5).over(wf).alias("f"),
+        F.ntile(5).over(wm).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("segment_cents"),
+    ).select(
+        F.col("r").cast("long").alias("r"),
+        F.col("f").cast("long").alias("f"),
+        F.col("m").cast("long").alias("m"),
+        F.concat_ws("-", "r", "f", "m").alias("segment"),
+        "n_customers",
+        "segment_cents",
+    )
