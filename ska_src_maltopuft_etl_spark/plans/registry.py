@@ -132,6 +132,7 @@ _TAIL = [
     "cusum_changepoint",
     "exp_smoothing_daily",
     "rfm_segmentation",
+    "triangle_count_copurchase",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

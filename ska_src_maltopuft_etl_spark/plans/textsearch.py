@@ -3229,3 +3229,80 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_customers",
         "segment_cents",
     )
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY a.l_partkey, b.l_partkey
+      HAVING COUNT(*) >= 2),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(COUNT(DISTINCT a) + COUNT(DISTINCT b) + COUNT(DISTINCT c)
+                AS BIGINT) AS corner_distincts,
+           CAST(MIN(a) AS BIGINT) AS min_a,
+           CAST(MAX(c) AS BIGINT) AS max_c
+    FROM tri
+    """,
+    covers=("J1", "A2"),
+    description=(
+        "triangle counting on the strong co-purchase graph (edges = part "
+        "pairs sharing >= 2 orders, oriented a<b<c so each triangle counts "
+        "once): the canonical two-join formulation"
+    ),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count triangles among strongly co-purchased parts.
+
+    The canonical distributed formulation: orient every edge low→high,
+    then E ⋈ E (wedge enumeration) ⋈ E (closure check) counts each
+    triangle exactly once — degree-ordering orientation is also what
+    bounds wedge counts on power-law graphs (each wedge pivots on the
+    lower-id node). Edges come pre-thresholded (support >= 2) so the
+    wedge join is over the strong subgraph, not all co-occurrence.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a = items.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("v"))
+    e = (
+        a.join(b, "l_orderkey")
+        .where(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= 2)
+        .select("u", "v")
+        .localCheckpoint()  # three self-join references, one materialization
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a2"), F.col("v").alias("c2"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")),
+        )
+    )
+    return tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        (
+            F.count_distinct("a")
+            + F.count_distinct("b")
+            + F.count_distinct("c")
+        )
+        .cast("long")
+        .alias("corner_distincts"),
+        F.min("a").alias("min_a"),
+        F.max("c").alias("max_c"),
+    )
