@@ -133,6 +133,7 @@ _TAIL = [
     "exp_smoothing_daily",
     "rfm_segmentation",
     "triangle_count_copurchase",
+    "source_vocab_overlap",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

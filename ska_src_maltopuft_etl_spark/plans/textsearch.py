@@ -3306,3 +3306,87 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("a").alias("min_a"),
         F.max("c").alias("max_c"),
     )
+
+
+@register(
+    "source_vocab_overlap",
+    oracle="""
+    WITH vocab AS (
+      SELECT DISTINCT source, w
+      FROM (SELECT source,
+                   UNNEST(list_filter(string_split(text, ' '), x -> x <> ''))
+                     AS w
+            FROM documents)),
+    sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM vocab GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS isect
+      FROM vocab a JOIN vocab b ON a.w = b.w AND a.source < b.source
+      GROUP BY a.source, b.source)
+    SELECT i.src_a, i.src_b, i.isect,
+           sa.sz AS size_a, sb.sz AS size_b,
+           CAST(i.isect AS DOUBLE)
+             / CAST(sa.sz + sb.sz - i.isect AS DOUBLE) AS vocab_jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    ORDER BY vocab_jaccard DESC, i.src_a ASC, i.src_b ASC
+    LIMIT 40
+    """,
+    covers=("R1", "A3", "J1"),
+    description=(
+        "source-level vocabulary overlap matrix (distinct-token Jaccard per "
+        "source pair): the corpus-composition diagnostic deciding whether "
+        "two ingestion feeds are redundant; top-40 with total-order "
+        "tie-break"
+    ),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which ingestion sources speak the same vocabulary?
+
+    The per-DOCUMENT Jaccard machinery (`dedup_ngram_jaccard`) lifted
+    to source granularity: distinct (source, token) pairs, a token
+    self-join for pairwise intersections (the |sources|² factor is
+    tiny — it's the source COUNT, not the corpus, that's squared),
+    sizes broadcast back, one division per pair.
+    """
+    d = _docs(spark, sf_dir)
+    vocab = d.select(
+        "source", F.explode(text.tokens("text")).alias("w")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a = vocab.select(F.col("source").alias("src_a"), "w")
+    b = vocab.select(F.col("source").alias("src_b"), "w")
+    inter = (
+        a.join(b, "w")
+        .where(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("isect"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("size_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("size_b"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "isect",
+            "size_a",
+            "size_b",
+            (
+                F.col("isect").cast("double")
+                / (F.col("size_a") + F.col("size_b") - F.col("isect")).cast(
+                    "double"
+                )
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy(
+            F.col("vocab_jaccard").desc(),
+            F.col("src_a").asc(),
+            F.col("src_b").asc(),
+        )
+        .limit(40)
+    )
