@@ -134,6 +134,7 @@ _TAIL = [
     "rfm_segmentation",
     "triangle_count_copurchase",
     "source_vocab_overlap",
+    "ols_trend_daily",
     "map_type_event_profile",
     "grouping_sets_revenue",
     "window_distribution_funcs",

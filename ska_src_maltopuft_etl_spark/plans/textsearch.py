@@ -3390,3 +3390,70 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(40)
     )
+
+
+@register(
+    "ols_trend_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                  AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope_per_day
+    FROM s
+    """,
+    covers=("A2", "P4"),
+    description=(
+        "exact OLS trend per series: the regression slope as an integer "
+        "rational (n*Sxy - Sx*Sy) / (n*Sxx - Sx**2) — numerator and "
+        "denominator emitted as exact BIGINTs, one display division"
+    ),
+)
+def ols_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Is each event type's daily volume trending up or down?
+
+    Ordinary least squares reduced to its sufficient statistics —
+    n, Sx, Sy, Sxy, Sxx — all exact BIGINTs from one aggregate
+    (map-side partials), so the slope is an exact rational whose sign
+    and magnitude cannot vary with aggregation order. The emitted
+    num/den pair IS the deterministic artifact; the double is display.
+    The same sufficient-statistic shape is mergeable, so this
+    composes with incremental_agg for streaming trend maintenance.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "event_type",
+        "n",
+        num.cast("long").alias("slope_num"),
+        den.cast("long").alias("slope_den"),
+        (num.cast("double") / den.cast("double")).alias("slope_per_day"),
+    )
