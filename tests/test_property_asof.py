@@ -178,3 +178,60 @@ def test_asof_forward_matches_pandas_merge_asof(spark, left, right):
         for r in expected.itertuples()
     }
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)),
+                    min_size=0, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 200)),
+        min_size=0, max_size=15,
+    ),
+)
+def test_interval_join_bucketed_matches_python_model(spark, points, intervals):
+    """Bucketized interval join vs a brute-force python model on random
+    epoch-second points/intervals: same matches for every bucket width,
+    including widths much smaller and larger than the interval spans."""
+    import datetime as dt
+
+    from ska_src_maltopuft_etl_spark.operators.joins import interval_join_bucketed
+
+    if not points:
+        return
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=t))
+        for i, (k, t) in enumerate(points)
+    ]
+    rrows = [
+        (j, k, base + dt.timedelta(seconds=s),
+         base + dt.timedelta(seconds=s + d))
+        for j, (k, s, d) in enumerate(intervals)
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    if rrows:
+        rdf = spark.createDataFrame(
+            rrows, "rid long, k long, s timestamp, e timestamp"
+        )
+    else:
+        rdf = spark.createDataFrame(
+            [], "rid long, k long, s timestamp, e timestamp"
+        )
+
+    out = interval_join_bucketed(
+        ldf, rdf, left_ts="ts", right_start="s", right_end="e",
+        bucket_width_s=60, by=["k"], how="inner",
+    )
+    got = sorted((r["lid"], r["rid"]) for r in out.collect())
+    want = sorted(
+        (i, j)
+        for i, (k, t) in enumerate(points)
+        for j, (k2, s, d) in enumerate(intervals)
+        if k == k2 and s <= t <= s + d
+    )
+    assert got == want
