@@ -201,3 +201,42 @@ def test_pagerank_fixed_point_known_graph(spark):
     assert got == ranks
     assert got[0] > got[1] > got[2]  # hub > fed leaf > teleport-only leaf
     assert got[2] == teleport
+
+
+def test_pagerank_property_random_graphs(spark):
+    """Random digraphs vs the exact python model of the same integer
+    recurrence — including dangling nodes, self-loops, and multi-edges
+    (which weight contributions, matching the COUNT-based outdeg)."""
+    import random
+
+    from ska_src_maltopuft_etl_spark.operators.graph import pagerank_fixed_point
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n_nodes = rng.randint(3, 8)
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(2, 14))
+        ]
+        scale, iters = 10**9, 4
+        got = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed_point(
+                spark.createDataFrame(edges, ["src", "dst"]),
+                iters=iters,
+                scale=scale,
+            ).collect()
+        }
+
+        teleport = (scale * 15) // 100
+        outdeg: dict = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        nodes = {s for s, _ in edges} | {d for _, d in edges}
+        ranks = {v: scale for v in nodes}
+        for _ in range(iters):
+            inflow = {v: 0 for v in nodes}
+            for s, d in edges:
+                inflow[d] += (ranks[s] * 85) // (100 * outdeg[s])
+            ranks = {v: teleport + inflow[v] for v in nodes}
+        assert got == ranks, (trial, edges)
