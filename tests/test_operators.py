@@ -306,3 +306,140 @@ def test_interval_join_bucketed_matches_plain(spark):
     with contextlib.redirect_stdout(buf):
         bucketed.explain("formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_interval_union_sweep_line_matches_python_model(spark):
+    """The sweep-line island formulation must compute exactly the
+    merged-interval coverage a brute-force python union computes,
+    on a randomized fixture with heavy overlaps and duplicates."""
+    import datetime as dt
+    import random
+
+    from ska_src_maltopuft_etl_spark.plans import QUERIES  # noqa: F401
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for uid in range(3):
+        for i in range(rng.randint(1, 12)):
+            start = rng.randrange(0, 3600)
+            rows.append((uid, i, base + dt.timedelta(seconds=start)))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, s timestamp")
+    width = 300  # each point opens a 5-minute window
+    iv = df.select(
+        "user_id",
+        "event_id",
+        "s",
+        (F.col("s") + F.expr(f"INTERVAL {width} SECOND")).alias("e"),
+    )
+    order = [F.col("s"), F.col("e"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.max(F.unix_micros("e")).over(w_prev).isNull()
+            | (F.unix_micros("s") > F.max(F.unix_micros("e")).over(w_prev)),
+            1,
+        ).otherwise(0).alias("ni"),
+        "event_id",
+    )
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        flagged.select(
+            "user_id", "s", "e", F.sum("ni").over(w_cum).alias("island")
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            ((F.max(F.unix_micros("e")) - F.min(F.unix_micros("s"))) / 1_000_000)
+            .cast("long")
+            .alias("span_s")
+        )
+    )
+    got = {
+        r["user_id"]: r["covered"]
+        for r in spans.groupBy("user_id")
+        .agg(F.sum("span_s").cast("long").alias("covered"))
+        .collect()
+    }
+
+    # python model: merge intervals per user
+    per_user: dict = {}
+    for uid, _, s in rows:
+        per_user.setdefault(uid, []).append(
+            (s, s + dt.timedelta(seconds=width))
+        )
+    want = {}
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        covered = 0
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                covered += int((cur_e - cur_s).total_seconds())
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        covered += int((cur_e - cur_s).total_seconds())
+        want[uid] = covered
+    assert got == want
+
+
+def test_mmr_rerank_matches_python_greedy(spark):
+    """The unrolled declarative MMR must pick exactly what the python
+    greedy picks from the same relevance/similarity inputs."""
+    from ska_src_maltopuft_etl_spark.plans import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["pick"], r["vec_id"])
+        for r in QUERIES["mmr_diverse_rerank"].fn(spark, sf).collect()
+    ]
+
+    # python model over the same pool
+    from ska_src_maltopuft_etl_spark.operators import similarity
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    e = load_table(spark, sf, "embeddings")
+    q = e.where(F.col("vec_id") == 0)
+    c = e.where(F.col("vec_id") != 0)
+    rel_rows = similarity.cosine_topk_bruteforce(
+        q, c, "vec_id", "embedding", k=10
+    ).collect()
+    rel = {r["neighbor_id"]: r["cosine"] for r in rel_rows}
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in c.where(F.col("vec_id").isin(list(rel))).collect()
+    }
+
+    def cos(a, b):
+        num = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return round(num / (na * nb), 5)
+
+    lam = 0.5
+    picked = []
+    remaining = dict(rel)
+    first = max(remaining, key=lambda v: (remaining[v], -v))
+    picked.append(first)
+    remaining.pop(first)
+    while len(picked) < 5 and remaining:
+        def score(v):
+            mx = max(cos(vecs[v], vecs[p]) for p in picked)
+            return lam * rel[v] - (1 - lam) * mx
+        nxt = max(remaining, key=lambda v: (score(v), -v))
+        picked.append(nxt)
+        remaining.pop(nxt)
+    assert [v for _, v in got] == picked
