@@ -150,3 +150,22 @@ def test_simhash_per_row_equals_aggregate(spark):
         for r in text.simhash_bits(d, "doc_id", "text", per_row=False).collect()
     }
     assert a == b and len(a) == d.count()
+
+
+def test_integer_ema_fold_matches_python(spark):
+    """The F.aggregate EMA fold must equal a python loop over the same
+    ordered series (integer fixed-point: s' = (3s + x) DIV 4)."""
+    from pyspark.sql import functions as F
+
+    xs = [17, 3, 250, 8, 8, 999, 1]
+    df = spark.createDataFrame([(xs,)], "xs array<long>")
+    ema = F.aggregate(
+        F.slice(F.col("xs"), 2, F.size("xs") - 1),
+        F.element_at(F.col("xs"), 1),
+        lambda acc, x: (((acc * 3 + x) - ((acc * 3 + x) % 4)) / 4).cast("long"),
+    ).cast("long")
+    got = df.select(ema.alias("e")).head()["e"]
+    s = xs[0]
+    for x in xs[1:]:
+        s = (s * 3 + x) // 4
+    assert got == s
