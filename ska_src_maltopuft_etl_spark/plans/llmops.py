@@ -664,10 +664,16 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     # record-linkage keys; not for document-length strings.
     s = load_table(spark, sf_dir, "supplier")
     # All variants of s_name with 0, 1 or 2 characters deleted, built
-    # JVM-side with higher-order array functions (no Python UDF).
-    variants = F.expr(
+    # JVM-side with higher-order array functions (no Python UDF) and
+    # hashed INSIDE the transform, so the explode emits 8-byte longs —
+    # never the ~172 variant strings per row. The self-join and the
+    # pair-distinct then move only (long, long) tuples; names are
+    # re-attached by two keyed joins AFTER the pair set is deduped,
+    # which at sf scale is a broadcast and at 100 TB two ordinary
+    # equi-joins on the record key.
+    variant_hashes = F.expr(
         """
-        array_distinct(concat(
+        array_distinct(transform(concat(
           array(s_name),
           transform(sequence(1, greatest(length(s_name), 1)),
                     i -> concat(substring(s_name, 1, i-1),
@@ -677,28 +683,27 @@ def dedup_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
               j -> concat(substring(s_name, 1, i-1),
                           substring(s_name, i+1, j-i-1),
                           substring(s_name, j+1, length(s_name))))))
-        ))
+        ), v -> xxhash64(v)))
         """
     )
-    v = s.select(
-        "s_suppkey",
-        "s_name",
-        F.explode(variants).alias("__variant"),
-    ).select("s_suppkey", "s_name", F.xxhash64("__variant").alias("__vh"))
-    a = v.select(
-        F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"), "__vh"
-    )
-    b = v.select(
-        F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"), "__vh"
-    )
+    v = s.select("s_suppkey", F.explode(variant_hashes).alias("__vh"))
+    a = v.select(F.col("s_suppkey").alias("supp_a"), "__vh")
+    b = v.select(F.col("s_suppkey").alias("supp_b"), "__vh")
     cand = (
         a.join(b, "__vh")
         .where(F.col("supp_a") < F.col("supp_b"))
-        .select("supp_a", "supp_b", "__na", "__nb")
+        .select("supp_a", "supp_b")
         .distinct()
     )
+    na = s.select(F.col("s_suppkey").alias("supp_a"), F.col("s_name").alias("__na"))
+    nb = s.select(F.col("s_suppkey").alias("supp_b"), F.col("s_name").alias("__nb"))
     return (
-        cand.select(
+        cand.join(na, "supp_a")
+        .join(nb, "supp_b")
+        # cheap residual: ed(a, b) >= |len(a) - len(b)|, so prune
+        # before the DP runs at all.
+        .where(F.abs(F.length("__na") - F.length("__nb")) <= 2)
+        .select(
             "supp_a",
             "supp_b",
             # threshold form early-exits the DP once distance > 2
