@@ -81,7 +81,22 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # every `covers` ID of which has another in-window certified row)
 # rotated to the tail. Do not reorder again; keep certification
 # comparable across rounds.
+#
+# Round 5: ONE-TIME amendment per the round-4 judge directive
+# (VERDICT.md "Next round" #3): `pagerank_supply_graph` (iterative graph
+# fixed-point) and `mmr_diverse_rerank` (greedy re-rank) were the only
+# algorithm families with no driver-certified representative — both move
+# in-window. In exchange, `q01_pricing_summary` (driver-green r01-r04;
+# value-identical tail twin `sql_frontend_q01` stays locally certified,
+# and every covered ID — P1/P4/A2 — keeps another in-window row) and
+# `knn_cosine_bruteforce` (by-design cartesian baseline; production twin
+# `knn_cosine_ivf` remains in-window, covers J1/W1 multiply held) rotate
+# to the tail. Verified at edit time: every §2 ID retains >=1 in-window
+# certified query after the swap.
 _TAIL = [
+    # Round-5 window swap (see above).
+    "q01_pricing_summary",
+    "knn_cosine_bruteforce",
     # Round-3 additions (window frozen at the round-2 certified 50; all
     # new queries land in the tail and are certified by the local
     # three-SF oracle sweep instead).
@@ -93,7 +108,6 @@ _TAIL = [
     "embedding_quantize_int8",
     "domain_mixture_weights",
     "rag_chunk_documents",
-    "pagerank_supply_graph",
     "interval_join_bucketed_sessions",
     "asof_join_forward_next_action",
     "salted_join_revenue",
@@ -127,7 +141,6 @@ _TAIL = [
     "dataset_drift_report",
     "revenue_share_within_region",
     "null_profile_report",
-    "mmr_diverse_rerank",
     "conversion_wilson_ci",
     "cusum_changepoint",
     "exp_smoothing_daily",
