@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 @dataclass(frozen=True)
 class TargetInformation:
     """Target table metadata (reference: core/target.py:11-57 introspects
-    the live DB; here declared statically)."""
+    the live DB; declared statically here, or derived from a live schema
+    by :func:`~.introspection.targets_from_jdbc`)."""
 
     table_name: str
     table_prefix: str
@@ -44,6 +45,16 @@ class TargetInformation:
     #: natural-key columns used for conflict detection (the reference's
     #: unique constraints).
     unique_key: tuple[str, ...] = ()
+    #: further unique column sets beyond ``unique_key``: the reference's
+    #: de-facto semantics are "conflict on ANY unique constraint"
+    #: (SURVEY.md §7.3 risk 6 — Postgres raises on whichever trips
+    #: first), so merge sinks anti-join on every set listed here too.
+    extra_unique_keys: tuple[tuple[str, ...], ...] = ()
+
+    @property
+    def all_unique_keys(self) -> tuple[tuple[str, ...], ...]:
+        head = (tuple(self.unique_key),) if self.unique_key else ()
+        return head + tuple(tuple(k) for k in self.extra_unique_keys)
 
 
 def prepare_data_for_insert(df: DataFrame, target: TargetInformation) -> DataFrame:
@@ -85,10 +96,16 @@ def _null_safe_key_condition(left_cols: Sequence[str], right_cols: Sequence[str]
 def merge_append(
     new_rows: DataFrame,
     existing: DataFrame | None,
-    unique_key: Sequence[str],
+    unique_key: Sequence[str] | Sequence[Sequence[str]],
 ) -> DataFrame:
     """Rows of ``new_rows`` whose natural key is absent from ``existing``
     (the MERGE WHEN NOT MATCHED INSERT half, K3/K4 semantics).
+
+    ``unique_key`` may be one column set or several (a sequence of
+    sequences): a row is dropped when it conflicts on ANY of the sets —
+    the reference's effective ON CONFLICT behavior when a table carries
+    multiple unique constraints (one anti-join per set; each is a keyed
+    equi-join AQE plans independently).
 
     NULL-valued key columns match null-safely, and the join strategy is
     left to AQE — the existing table grows without bound across runs, so
@@ -96,13 +113,21 @@ def merge_append(
     """
     if existing is None or not unique_key:
         return new_rows
-    aliased = [f"__nk_{i}" for i in range(len(unique_key))]
-    keys = existing.select(
-        *[F.col(c).alias(a) for c, a in zip(unique_key, aliased)]
-    ).dropDuplicates()
-    return new_rows.join(
-        keys, on=_null_safe_key_condition(list(unique_key), aliased), how="left_anti"
-    )
+    key_sets: list[list[str]]
+    if unique_key and isinstance(unique_key[0], str):
+        key_sets = [list(unique_key)]  # type: ignore[arg-type]
+    else:
+        key_sets = [list(k) for k in unique_key]  # type: ignore[union-attr]
+    out = new_rows
+    for ks in key_sets:
+        aliased = [f"__nk_{i}" for i in range(len(ks))]
+        keys = existing.select(
+            *[F.col(c).alias(a) for c, a in zip(ks, aliased)]
+        ).dropDuplicates()
+        out = out.join(
+            keys, on=_null_safe_key_condition(ks, aliased), how="left_anti"
+        )
+    return out
 
 
 def load_targets(
@@ -140,7 +165,7 @@ def load_targets(
                 existing = spark.read.parquet(path)
             except Exception:
                 existing = None
-            novel = merge_append(df, existing, target.unique_key)
+            novel = merge_append(df, existing, target.all_unique_keys)
             novel.write.mode("append").option("compression", "gzip").parquet(path)
             loaded[target.table_name] = spark.read.parquet(path)
         elif jdbc_url is not None:
@@ -150,7 +175,7 @@ def load_targets(
                 )
             except Exception:
                 existing = None
-            novel = merge_append(df, existing, target.unique_key)
+            novel = merge_append(df, existing, target.all_unique_keys)
             novel.write.jdbc(
                 jdbc_url,
                 target.table_name,
@@ -159,7 +184,7 @@ def load_targets(
             )
             loaded[target.table_name] = novel
         else:
-            loaded[target.table_name] = merge_append(df, None, target.unique_key)
+            loaded[target.table_name] = merge_append(df, None, target.all_unique_keys)
     return loaded
 
 
@@ -290,4 +315,109 @@ def incremental_load(
         novel_final = novel.withColumn(pk, F.col("__new_id")).select(*out_cols)
         novel_final.write.mode("append").option("compression", "gzip").parquet(path)
         loaded[name] = spark.read.parquet(path)
+    return loaded
+
+
+def load_targets_on_conflict(
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    targets: Sequence[TargetInformation],
+    jdbc_url: str,
+    jdbc_properties: dict[str, str] | None = None,
+    staging_suffix: str = "_stage",
+) -> dict[str, DataFrame]:
+    """Executable twin of the reference's ``INSERT .. ON CONFLICT DO
+    NOTHING`` round trip (reference core/insert.py:76-119), set-based.
+
+    Where :func:`load_targets`'s JDBC branch resolves conflicts in Spark
+    (anti-join against a snapshot read of the target, then append), this
+    variant resolves them **inside the database**, closing the
+    read-modify-write race window between the snapshot and the append:
+
+    1. the batch is staged with ``DataFrameWriter.jdbc`` (bulk write,
+       Spark-parallel — never per-row statements);
+    2. ONE set-based statement per table moves staged rows into the
+       target: ``INSERT ... SELECT ... ON CONFLICT DO NOTHING`` on
+       PostgreSQL (conflicting on ANY unique constraint, exactly the
+       reference's de-facto semantics — SURVEY.md §7.3 risk 6), or the
+       vanilla-SQL ``INSERT ... SELECT ... WHERE NOT EXISTS`` per unique
+       key set elsewhere (embedded Derby in tests);
+    3. the staging table is dropped.
+
+    The scale shape is right for 100 TB loads: Spark does the heavy
+    distributed write into staging, the database does one indexed merge
+    — no driver-side row loops, no ids shipped back (surrogate keys are
+    deterministic Spark-side, as everywhere in this sink).
+
+    Intra-batch duplicates are collapsed in Spark first (``ON CONFLICT``
+    dedupes within a statement; ``NOT EXISTS`` does not — normalizing in
+    Spark keeps both backends identical).
+    """
+    from ska_src_maltopuft_etl_spark.sinks.introspection import (
+        execute_jdbc_sql,
+        stored_column_names,
+    )
+
+    props = jdbc_properties or {}
+    is_postgres = jdbc_url.startswith("jdbc:postgresql")
+    loaded: dict[str, DataFrame] = {}
+    for target in targets:
+        name = target.table_name
+        stage = f"{name}{staging_suffix}"
+        df = tables[name]
+        for ks in target.all_unique_keys:
+            df = df.dropDuplicates(list(ks))
+
+        # ensure the target exists (Spark creates it on first append —
+        # without unique constraints; pre-create with real DDL to get
+        # database-enforced conflicts, as the reference's schema does).
+        try:
+            spark.read.jdbc(jdbc_url, name, properties=props).schema
+        except Exception:
+            df.limit(0).write.jdbc(jdbc_url, name, mode="append", properties=props)
+
+        df.write.jdbc(jdbc_url, stage, mode="overwrite", properties=props)
+
+        # Identifier case: unquoted DDL folds names (up on Derby, down
+        # on Postgres) while Spark's JDBC writer QUOTES DataFrame column
+        # names verbatim — so target and staging may store different
+        # cases for the same column. Quote every identifier with its
+        # own stored case, resolved from the catalog.
+        tcols = stored_column_names(spark, jdbc_url, name, props)
+        scols = stored_column_names(spark, jdbc_url, stage, props)
+
+        def tq(c: str) -> str:
+            return '"' + tcols[c.lower()] + '"'
+
+        def sq(c: str) -> str:
+            return '"' + scols[c.lower()] + '"'
+
+        insert_cols = ", ".join(tq(c) for c in df.columns)
+        select_cols = ", ".join(f"s.{sq(c)}" for c in df.columns)
+        if is_postgres:
+            merge = (
+                f'INSERT INTO "{name}" ({insert_cols}) '
+                f'SELECT {select_cols} FROM "{stage}" s '
+                "ON CONFLICT DO NOTHING"
+            )
+        else:
+            guards = []
+            for ks in target.all_unique_keys:
+                match = " AND ".join(
+                    f"(t.{tq(c)} = s.{sq(c)} "
+                    f"OR (t.{tq(c)} IS NULL AND s.{sq(c)} IS NULL))"
+                    for c in ks
+                )
+                guards.append(
+                    f"NOT EXISTS (SELECT 1 FROM {name} t WHERE {match})"
+                )
+            where = f" WHERE {' AND '.join(guards)}" if guards else ""
+            merge = (
+                f"INSERT INTO {name} ({insert_cols}) "
+                f"SELECT {select_cols} FROM {stage} s{where}"
+            )
+        execute_jdbc_sql(
+            spark, jdbc_url, [merge, f"DROP TABLE {stage}"], properties=props
+        )
+        loaded[name] = spark.read.jdbc(jdbc_url, name, properties=props)
     return loaded
