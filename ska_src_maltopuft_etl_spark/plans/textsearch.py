@@ -779,7 +779,7 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     ).distinct()
     edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    ranks = graph.pagerank_fixed_point(edges, "a", "b", iters=5)
+    ranks = graph.pagerank_fixed_point(edges, "a", "b", iters=5, symmetric=True)
     return ranks.orderBy(
         F.col("rank_scaled").desc(), F.col("node").asc()
     ).limit(20)

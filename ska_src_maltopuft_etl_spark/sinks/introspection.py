@@ -29,6 +29,7 @@ tests; set ``MALTOPUFT_JDBC_URL`` for Postgres et al.).
 
 from __future__ import annotations
 
+import re
 from collections import defaultdict
 from contextlib import contextmanager
 from typing import Iterator, Sequence
@@ -36,6 +37,22 @@ from typing import Iterator, Sequence
 from pyspark.sql import SparkSession
 
 from ska_src_maltopuft_etl_spark.sinks.relational import TargetInformation
+
+_IDENT_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def check_identifier(name: str) -> str:
+    """Validate a table/column name before interpolating it into
+    driver-side SQL (catalog queries, merge/DROP statements).
+
+    Names come from caller config or the catalog itself, so the threat
+    model is misconfiguration rather than hostile input — but a name
+    containing a quote or SQL fragment would still silently break the
+    statement. Restricting to ``[A-Za-z0-9_]`` fails fast instead.
+    """
+    if not _IDENT_RE.match(name):
+        raise ValueError(f"unsafe SQL identifier: {name!r}")
+    return name
 
 
 @contextmanager
@@ -110,8 +127,7 @@ def _derby_unique_sets(conn, stored_name: str) -> list[tuple[str, ...]]:
     each TYPE='U' constraint to its backing conglomerate, whose
     DESCRIPTOR lists 1-based column numbers, resolved via SYSCOLUMNS.
     """
-    import re
-
+    check_identifier(stored_name)
     sets: list[tuple[str, ...]] = []
     st = conn.createStatement()
     try:
@@ -151,11 +167,31 @@ def _derby_unique_sets(conn, stored_name: str) -> list[tuple[str, ...]]:
     return sets
 
 
-def _resolve_table_case(md, name: str) -> str | None:
+def _resolve_table_case(md, name: str, schema: str | None = None) -> str | None:
     """Find the stored identifier for ``name`` (unquoted DDL is folded
-    to upper case by Derby/Oracle, lower by Postgres)."""
+    to upper case by Derby/Oracle, lower by Postgres).
+
+    ``DatabaseMetaData.getTables`` treats its schema/table arguments as
+    LIKE patterns where ``_`` matches any single character — unescaped,
+    ``i_beam`` would also match an unrelated ``ixbeam``. Escape ``_`` and
+    ``%`` with the driver's own escape string so the lookup is exact,
+    and scope it to ``schema`` when the caller provides one (otherwise a
+    same-named table in another schema could win).
+    """
+    esc = md.getSearchStringEscape() or ""
+
+    def exact(pattern: str) -> str:
+        if not esc:
+            return pattern
+        return (
+            pattern.replace(esc, esc + esc)
+            .replace("_", esc + "_")
+            .replace("%", esc + "%")
+        )
+
+    schema_pat = exact(schema) if schema is not None else None
     for cand in (name, name.upper(), name.lower()):
-        rs = md.getTables(None, None, cand, None)
+        rs = md.getTables(None, schema_pat, exact(cand), None)
         found = [r["TABLE_NAME"] for r in _rs_rows(rs, ["TABLE_NAME"])]
         if found:
             return found[0]
@@ -168,6 +204,7 @@ def targets_from_jdbc(
     tables: Sequence[str],
     properties: dict[str, str] | None = None,
     table_prefixes: dict[str, str] | None = None,
+    schema: str | None = None,
 ) -> tuple[TargetInformation, ...]:
     """Build :class:`TargetInformation` for ``tables`` from the live schema.
 
@@ -184,6 +221,8 @@ def targets_from_jdbc(
     table_prefixes : optional ``table -> column prefix`` for
         :func:`~.relational.prepare_data_for_insert` slicing (defaults
         to ``""``, the reference's convention for unprefixed frames).
+    schema : optional schema to scope catalog lookups to (otherwise a
+        same-named table in another schema could be introspected).
 
     Returns targets in FK-dependency (load) order; ties broken by the
     caller's ``tables`` order so the result is deterministic.
@@ -193,7 +232,7 @@ def targets_from_jdbc(
         md = conn.getMetaData()
         resolved: dict[str, str] = {}
         for t in tables:
-            stored = _resolve_table_case(md, t)
+            stored = _resolve_table_case(md, t, schema=schema)
             if stored is None:
                 raise ValueError(f"table not found in JDBC catalog: {t!r}")
             resolved[t] = stored
@@ -208,7 +247,7 @@ def targets_from_jdbc(
             # -- primary key --------------------------------------------
             pk_rows = list(
                 _rs_rows(
-                    md.getPrimaryKeys(None, None, stored),
+                    md.getPrimaryKeys(None, schema, stored),
                     ["COLUMN_NAME", "KEY_SEQ"],
                 )
             )
@@ -226,7 +265,7 @@ def targets_from_jdbc(
 
             # -- foreign keys (column -> parent table) -------------------
             fk_rows = _rs_rows(
-                md.getImportedKeys(None, None, stored),
+                md.getImportedKeys(None, schema, stored),
                 ["FKCOLUMN_NAME", "PKTABLE_NAME"],
             )
             fks: dict[str, str] = {}
@@ -240,7 +279,7 @@ def targets_from_jdbc(
             # -- unique constraints (all non-PK unique column sets) ------
             idx_rows = _rs_rows(
                 # approximate=False: exact catalog metadata only
-                md.getIndexInfo(None, None, stored, True, False),
+                md.getIndexInfo(None, schema, stored, True, False),
                 ["INDEX_NAME", "COLUMN_NAME", "ORDINAL_POSITION"],
             )
             by_index: dict[str, list[tuple[int, str]]] = defaultdict(list)

@@ -276,20 +276,35 @@ def incremental_load(
         except Exception:
             existing = None
 
-        nk = list(target.unique_key) or [c for c in df.columns if c != pk]
+        # Match against EVERY unique constraint, like load_targets /
+        # load_targets_on_conflict — a table with extra_unique_keys must
+        # not get weaker dedup on the incremental path. The first set
+        # that matches wins (coalesce order = constraint declaration
+        # order, deterministic).
+        key_sets = [list(ks) for ks in target.all_unique_keys] or [
+            [c for c in df.columns if c != pk]
+        ]
         if existing is not None:
-            aliased = [f"__nk_{i}" for i in range(len(nk))]
-            match = existing.select(
-                *[F.col(c).alias(a) for c, a in zip(nk, aliased)],
-                F.col(pk).alias("__existing_id"),
-            ).dropDuplicates(aliased)
-            # existing tables grow without bound — let AQE pick the join
-            # strategy instead of forcing a broadcast. Null-safe equality
-            # so NULL key columns (e.g. sp_candidate plot_path) match on
-            # re-runs instead of re-appending with fresh ids.
-            df = df.join(
-                match, _null_safe_key_condition(nk, aliased), "left"
-            ).drop(*aliased)
+            eids = []
+            for si, nk in enumerate(key_sets):
+                aliased = [f"__nk{si}_{i}" for i in range(len(nk))]
+                eid = f"__eid{si}"
+                match = existing.select(
+                    *[F.col(c).alias(a) for c, a in zip(nk, aliased)],
+                    F.col(pk).alias(eid),
+                ).dropDuplicates(aliased)
+                # existing tables grow without bound — let AQE pick the
+                # join strategy instead of forcing a broadcast.
+                # Null-safe equality so NULL key columns (e.g.
+                # sp_candidate plot_path) match on re-runs instead of
+                # re-appending with fresh ids.
+                df = df.join(
+                    match, _null_safe_key_condition(nk, aliased), "left"
+                ).drop(*aliased)
+                eids.append(eid)
+            df = df.withColumn(
+                "__existing_id", F.coalesce(*[F.col(e) for e in eids])
+            ).drop(*eids)
             offset_row = existing.agg(F.max(pk).alias("m")).first()
             offset = int(offset_row["m"] or 0)
         else:
@@ -349,11 +364,26 @@ def load_targets_on_conflict(
     — no driver-side row loops, no ids shipped back (surrogate keys are
     deterministic Spark-side, as everywhere in this sink).
 
-    Intra-batch duplicates are collapsed in Spark first (``ON CONFLICT``
-    dedupes within a statement; ``NOT EXISTS`` does not — normalizing in
-    Spark keeps both backends identical).
+    Conflict semantics are Postgres's (and therefore the reference's):
+
+    - **NULLS DISTINCT**: a unique constraint never fires for rows with
+      NULL in a key column, so NULL-keyed rows always insert — on every
+      run, on both backends. The vanilla ``NOT EXISTS`` guard uses plain
+      equality (NULL comparisons are unknown → the guard passes), and
+      the Spark-side intra-batch dedup skips NULL-keyed rows to match.
+      Callers who need NULL-keyed idempotency should use the anti-join
+      sinks (:func:`load_targets` / :func:`incremental_load`), whose
+      null-safe matching is documented there.
+    - **any unique constraint conflicts, including the primary key**:
+      the vanilla branch also guards on the PK so a staged row that
+      collides only on its PK is skipped like any other conflict instead
+      of aborting the whole set-based INSERT.
+    - intra-batch duplicates (non-NULL keys) are collapsed in Spark
+      first (``ON CONFLICT`` dedupes within a statement; ``NOT EXISTS``
+      does not — normalizing in Spark keeps both backends identical).
     """
     from ska_src_maltopuft_etl_spark.sinks.introspection import (
+        check_identifier,
         execute_jdbc_sql,
         stored_column_names,
     )
@@ -362,11 +392,21 @@ def load_targets_on_conflict(
     is_postgres = jdbc_url.startswith("jdbc:postgresql")
     loaded: dict[str, DataFrame] = {}
     for target in targets:
-        name = target.table_name
-        stage = f"{name}{staging_suffix}"
+        name = check_identifier(target.table_name)
+        stage = check_identifier(f"{name}{staging_suffix}")
         df = tables[name]
+        df = df.dropDuplicates([target.primary_key])
         for ks in target.all_unique_keys:
-            df = df.dropDuplicates(list(ks))
+            # NULLS DISTINCT: only rows with a fully non-NULL key can
+            # conflict — dedup those; NULL-keyed rows pass through
+            # untouched (they all insert, exactly as ON CONFLICT would).
+            nonnull = None
+            for c in ks:
+                e = F.col(c).isNotNull()
+                nonnull = e if nonnull is None else (nonnull & e)
+            df = df.where(~nonnull).unionByName(
+                df.where(nonnull).dropDuplicates(list(ks))
+            )
 
         # ensure the target exists (Spark creates it on first append —
         # without unique constraints; pre-create with real DDL to get
@@ -402,12 +442,16 @@ def load_targets_on_conflict(
             )
         else:
             guards = []
-            for ks in target.all_unique_keys:
-                match = " AND ".join(
-                    f"(t.{tq(c)} = s.{sq(c)} "
-                    f"OR (t.{tq(c)} IS NULL AND s.{sq(c)} IS NULL))"
-                    for c in ks
-                )
+            # PK conflicts are skipped like any other unique conflict
+            # (Postgres's bare ON CONFLICT DO NOTHING covers the PK's
+            # unique index too; without this guard one PK collision
+            # would abort the whole set-based INSERT).
+            pk_sets = ((target.primary_key,),) + target.all_unique_keys
+            for ks in pk_sets:
+                # Plain equality = NULLS DISTINCT (a NULL key column
+                # makes the comparison unknown, the EXISTS finds no
+                # match, and the row inserts — Postgres semantics).
+                match = " AND ".join(f"t.{tq(c)} = s.{sq(c)}" for c in ks)
                 guards.append(
                     f"NOT EXISTS (SELECT 1 FROM {name} t WHERE {match})"
                 )

@@ -196,3 +196,98 @@ def test_on_conflict_collapses_intra_batch_duplicates(spark, jdbc):
         spark, {"i_schedule_block": dup}, targets, url, jdbc_properties=props
     )
     assert loaded["i_schedule_block"].count() == 2
+
+
+def test_on_conflict_pk_collision_skips_row_not_batch(spark, jdbc):
+    """A staged row colliding ONLY on its primary key must be skipped
+    like any other unique conflict — Postgres's bare ON CONFLICT DO
+    NOTHING covers the PK's unique index, and without the matching
+    guard the vanilla branch aborts the ENTIRE set-based INSERT on the
+    first PK violation (round-5 ADVICE, reproduced on Derby)."""
+    url, props = jdbc
+    targets = targets_from_jdbc(spark, url, ["i_schedule_block"], properties=props)
+    first = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0))],
+        "id long, start_at timestamp, est_end_at timestamp",
+    )
+    load_targets_on_conflict(
+        spark, {"i_schedule_block": first}, targets, url, jdbc_properties=props
+    )
+    # id=1 collides on the PK with a brand-new natural key; id=2 is novel.
+    second = spark.createDataFrame(
+        [
+            (1, dt.datetime(2024, 2, 1, 0, 0), dt.datetime(2024, 2, 1, 1, 0)),
+            (2, dt.datetime(2024, 3, 1, 0, 0), dt.datetime(2024, 3, 1, 1, 0)),
+        ],
+        "id long, start_at timestamp, est_end_at timestamp",
+    )
+    loaded = load_targets_on_conflict(
+        spark, {"i_schedule_block": second}, targets, url, jdbc_properties=props
+    )
+    # Derby folds unquoted DDL identifiers to upper case on read-back.
+    out = loaded["i_schedule_block"].toDF(
+        *[c.lower() for c in loaded["i_schedule_block"].columns]
+    )
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # the PK-conflicting row was skipped, not applied (DO NOTHING).
+    assert rows[1]["start_at"] == dt.datetime(2024, 1, 1, 0, 0)
+
+
+def test_on_conflict_nulls_distinct_matches_postgres(spark, jdbc):
+    """NULL-keyed rows never conflict (Postgres NULLS DISTINCT): two
+    NULL-keyed rows in one batch both insert, and a later NULL-keyed
+    row inserts again instead of being treated as a duplicate."""
+    url, props = jdbc
+    targets = targets_from_jdbc(
+        spark, url, ["i_schedule_block", "i_observation"], properties=props
+    )
+    sb = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 0, 0), dt.datetime(2024, 1, 1, 1, 0))],
+        "id long, start_at timestamp, est_end_at timestamp",
+    )
+    obs = spark.createDataFrame(
+        [(1, 1, None), (2, 1, None)],
+        "id long, schedule_block_id long, t_min timestamp",
+    )
+    loaded = load_targets_on_conflict(
+        spark,
+        {"i_schedule_block": sb, "i_observation": obs},
+        targets,
+        url,
+        jdbc_properties=props,
+    )
+    # intra-batch: both NULL-keyed rows insert (no NULL=NULL collapse).
+    assert loaded["i_observation"].count() == 2
+
+    # a later NULL-keyed row (fresh PK) also inserts — the unique
+    # constraint never fires on NULL, on either backend.
+    obs2 = spark.createDataFrame(
+        [(3, 1, None)], "id long, schedule_block_id long, t_min timestamp"
+    )
+    loaded = load_targets_on_conflict(
+        spark,
+        {"i_schedule_block": sb.limit(0), "i_observation": obs2},
+        targets,
+        url,
+        jdbc_properties=props,
+    )
+    assert loaded["i_observation"].count() == 3
+
+
+def test_check_identifier_rejects_sql_fragments(spark, jdbc):
+    url, props = jdbc
+    from ska_src_maltopuft_etl_spark.sinks.introspection import check_identifier
+
+    assert check_identifier("i_beam") == "i_beam"
+    with pytest.raises(ValueError, match="unsafe"):
+        check_identifier('x"; DROP TABLE i_beam; --')
+    bad = TargetInformation("bad name!", "", "id", {}, ("c",))
+    with pytest.raises(ValueError, match="unsafe"):
+        load_targets_on_conflict(
+            spark,
+            {"bad name!": spark.range(1)},
+            [bad],
+            url,
+            jdbc_properties=props,
+        )
