@@ -80,11 +80,19 @@ def main() -> None:
     # map on its own (non-final) line for humans/archives, then a SHORT
     # final JSON line — same contract keys, but "queries" bounded to the
     # slowest 12 so the line stays well under any tail-capture limit.
-    print(
-        json.dumps(
-            {"metric": "per_query_wall_sec_full", "queries": timings, "sf": sf_val}
-        )
-    )
+    full = {"metric": "per_query_wall_sec_full", "queries": timings, "sf": sf_val,
+            "rounds": rounds}
+    print(json.dumps(full))
+    # Also archive in-repo so every round's full battery is diffable
+    # (the driver's BENCH_r{N}.json keeps only the final line).
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL.json"), "w"
+        ) as f:
+            json.dump(full, f, indent=1, sort_keys=True)
+    except OSError:
+        pass
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
     )
