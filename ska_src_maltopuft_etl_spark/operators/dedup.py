@@ -73,25 +73,46 @@ def surrogate_key(
         return df.withColumn(name, (F.row_number().over(w) + offset - 1).cast("long"))
 
     sorted_df = df.repartitionByRange(*ordered).sortWithinPartitions(*ordered)
-    # repartitionByRange picks boundaries by SAMPLING, and this plan reads
-    # the partitioned data from two branches (the per-partition numbering
-    # below and the partition-size aggregate). If Catalyst does not reuse
-    # the exchange, each branch re-samples different boundaries and the
-    # spark_partition_id values disagree — the __pid join then silently
-    # drops or misnumbers rows (observed at 150k+ rows). localCheckpoint
-    # materializes the partitioning ONCE (eagerly, on executor storage,
-    # lineage cut) so both branches see identical pids.
-    with_pid = sorted_df.withColumn("__pid", F.spark_partition_id()).localCheckpoint()
-    w_local = Window.partitionBy("__pid").orderBy(*ordered)
-    local = with_pid.withColumn("__local_rn", F.row_number().over(w_local))
+    # monotonically_increasing_id() encodes (partition id << 33) + a
+    # 0-based consecutive row counter within the partition, evaluated in
+    # the order rows stream out of the sort — i.e. it IS the
+    # (pid, local_rn) pair, computed with ZERO additional exchange. The
+    # previous formulation derived local_rn with a row_number window
+    # over spark_partition_id, which forced one more full hash-exchange
+    # + sort of the fact (Catalyst can't see that range partitions are
+    # already disjoint on __pid).
+    #
+    # repartitionByRange picks boundaries by SAMPLING, and this plan
+    # reads the partitioned data from two branches (the size aggregate
+    # and the final numbering). If Catalyst does not reuse the exchange,
+    # each branch re-samples different boundaries and the ids disagree —
+    # the __pid join then silently drops or misnumbers rows (observed at
+    # 150k+ rows). localCheckpoint materializes the partitioning ONCE
+    # (eagerly, on executor storage, lineage cut) so both branches see
+    # identical ids.
+    local = sorted_df.withColumn(
+        "__mid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    pid = F.shiftright("__mid", 33)
     # exclusive prefix sum of partition sizes — tiny aggregate, broadcast.
-    sizes = local.groupBy("__pid").count()
+    # repartitionByRange assigns ascending key ranges to ascending
+    # partition ids, so ordering the prefix sum by pid follows the
+    # global sort order.
+    sizes = local.groupBy(pid.alias("__pid")).count()
     w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = sizes.withColumn("__poffset", F.coalesce(F.sum("count").over(w_cum), F.lit(0))).drop(
         "count"
     )
     return (
-        local.join(F.broadcast(offsets), "__pid")
-        .withColumn(name, (F.col("__local_rn") + F.col("__poffset") + offset - 1).cast("long"))
-        .drop("__pid", "__local_rn", "__poffset")
+        local.withColumn("__pid", pid)
+        .join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            name,
+            (
+                (F.col("__mid") - F.shiftleft("__pid", 33))  # local 0-based rn
+                + F.col("__poffset")
+                + offset
+            ).cast("long"),
+        )
+        .drop("__pid", "__mid", "__poffset")
     )
