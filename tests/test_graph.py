@@ -240,3 +240,31 @@ def test_pagerank_property_random_graphs(spark):
                 inflow[d] += (ranks[s] * 85) // (100 * outdeg[s])
             ranks = {v: teleport + inflow[v] for v in nodes}
         assert got == ranks, (trial, edges)
+
+
+def test_pagerank_symmetric_path_matches_general(spark):
+    """symmetric=True must be bit-identical to the general path on
+    symmetrized edge sets (the per-round nodes LEFT JOIN it elides is an
+    identity there), across random graphs incl. multi-edges."""
+    import random
+
+    from ska_src_maltopuft_etl_spark.operators.graph import pagerank_fixed_point
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n_nodes = rng.randint(3, 9)
+        pairs = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes))
+            for _ in range(rng.randint(2, 12))
+        ]
+        sym = pairs + [(b, a) for a, b in pairs]
+        edges = spark.createDataFrame(sym, ["src", "dst"])
+        general = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed_point(edges, iters=4).collect()
+        }
+        fast = {
+            r["node"]: r["rank_scaled"]
+            for r in pagerank_fixed_point(edges, iters=4, symmetric=True).collect()
+        }
+        assert fast == general, (trial, sym)

@@ -155,6 +155,17 @@ def test_surrogate_key_scalable_plan_no_global_window(spark):
     # localCheckpoint (lineage cut), so the downstream plan reads the
     # checkpointed RDD rather than showing the range exchange.
     assert "ExistingRDD" in scal_plan
+    # ... and the fact-side numbering is monotonically_increasing_id
+    # arithmetic, NOT a row_number window (which would force one more
+    # full hash-exchange + sort of the fact on __pid). The only Window
+    # in the plan is the prefix sum over the per-partition counts —
+    # n_partitions rows, after an aggregation.
+    fact_windows = [
+        ln
+        for ln in scal_plan.splitlines()
+        if ") Window" in ln or ln.strip().startswith("Window")
+    ]
+    assert len(fact_windows) <= 1, scal_plan
     # scalable mode: fact rows are range-partitioned; at most one
     # SinglePartition exchange remains and it sits above the HashAggregate
     # that reduced the data to one row per partition.
