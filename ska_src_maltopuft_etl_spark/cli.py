@@ -1,8 +1,8 @@
 """Command-line entry points (reference: meertrap/main.py, atnf/main.py,
 click/*.py).
 
-    python -m ska_src_maltopuft_etl_spark meertrap DATA_DIR [--output DIR]
-        [--partition-key KEY] [--no-validate] [--incremental]
+    python -m ska_src_maltopuft_etl_spark meertrap [DATA_DIR] [--config YML]
+        [--output DIR] [--partition-key KEY] [--no-validate] [--incremental]
     python -m ska_src_maltopuft_etl_spark atnf --output DIR
     python -m ska_src_maltopuft_etl_spark untar SRC DEST
     python -m ska_src_maltopuft_etl_spark reorg DATA_DIR
@@ -20,9 +20,15 @@ def build_parser() -> argparse.ArgumentParser:
     sub = p.add_subparsers(dest="command", required=True)
 
     mt = sub.add_parser("meertrap", help="run the MeerTRAP pipeline over a partition dir")
-    mt.add_argument("data_dir")
+    mt.add_argument("data_dir", nargs="?", default=None)
+    mt.add_argument(
+        "--config", default=None,
+        help="YAML config with the reference's keys (data_path, output_path, "
+        "remote_file_root_path, partition_key, save_output — "
+        "cfg/config.default.yml contract); flags override file values",
+    )
     mt.add_argument("--output", default=None)
-    mt.add_argument("--partition-key", default="")
+    mt.add_argument("--partition-key", default=None)
     mt.add_argument("--no-validate", action="store_true")
     mt.add_argument(
         "--incremental", action="store_true",
@@ -77,6 +83,27 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "meertrap":
             from ska_src_maltopuft_etl_spark.plans.meertrap import meertrap_run
+
+            # --config carries the reference's YAML contract
+            # (core/config.py:130-139); explicit flags override it.
+            if args.config:
+                from ska_src_maltopuft_etl_spark.config import load_config
+
+                cfg = load_config(
+                    args.config,
+                    overrides=(
+                        {"partition_key": args.partition_key}
+                        if args.partition_key is not None
+                        else None
+                    ),
+                )
+                args.data_dir = args.data_dir or str(cfg.partition_data_path)
+                if args.output is None and cfg.save_output:
+                    args.output = str(cfg.output_path)
+                args.partition_key = cfg.partition_key
+            if args.data_dir is None:
+                raise SystemExit("meertrap: DATA_DIR or --config required")
+            args.partition_key = args.partition_key or ""
 
             if args.incremental and args.output:
                 from ska_src_maltopuft_etl_spark.sinks import (

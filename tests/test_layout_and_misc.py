@@ -310,3 +310,49 @@ def test_cluster_parquet_nonoverlapping_ranges(spark, tmp_path):
         pq.read_metadata(str(f)).num_rows for f in files
     )
     assert total == 20000
+
+
+def test_pipeline_config_contract(tmp_path):
+    """YAML config twin of reference core/config.py:39-139 — default file
+    + override file + CLI overrides, derived paths, unknown-key and
+    missing-key failure modes."""
+    import pytest
+
+    from ska_src_maltopuft_etl_spark.config import load_config
+
+    default = tmp_path / "config.default.yml"
+    default.write_text(
+        "data_path: ./data/\n"
+        "output_path: {out}\n"
+        "save_output: true\n"
+        "remote_file_root_path: ./results/data/\n".format(out=tmp_path / "meta")
+    )
+    cfg = load_config(default_cfg_path=default)
+    assert cfg.data_path == __import__("pathlib").Path("./data")
+    assert cfg.output_path.exists()  # created eagerly, as the reference does
+    assert cfg.output_prefix == ""
+    assert cfg.raw_obs_data_path.name == "obs_raw.parquet"
+
+    # cfg file wins over default; CLI overrides win over both.
+    override = tmp_path / "config.yml"
+    override.write_text("partition_key: 2023-11-20\n")
+    cfg = load_config(override, default_cfg_path=default)
+    assert cfg.partition_key == "2023-11-20"
+    assert cfg.partition_data_path.name == "2023-11-20"
+    assert cfg.transformed_cand_data_path.name == "2023-11-20_cand_transformed.parquet"
+    cfg = load_config(override, default_cfg_path=default,
+                      overrides={"partition_key": "2024-01-01"})
+    assert cfg.output_prefix == "2024-01-01_"
+
+    with pytest.raises(ValueError, match="unknown config keys"):
+        load_config(default_cfg_path=default, overrides={"outptu_path": "x"})
+    with pytest.raises(ValueError, match="missing required"):
+        load_config(overrides={"output_path": str(tmp_path)})
+
+
+def test_cli_meertrap_config_flag(tmp_path):
+    from ska_src_maltopuft_etl_spark.cli import build_parser
+
+    p = build_parser()
+    ns = p.parse_args(["meertrap", "--config", "cfg/config.yml"])
+    assert ns.command == "meertrap" and ns.config and ns.data_dir is None
