@@ -1,3 +1,3 @@
-from ska_src_maltopuft_etl_spark.engine.session import get_spark
+from ska_src_maltopuft_etl_spark.engine.session import get_spark, release_checkpoints
 
-__all__ = ["get_spark"]
+__all__ = ["get_spark", "release_checkpoints"]

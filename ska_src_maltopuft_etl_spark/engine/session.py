@@ -68,3 +68,25 @@ def get_spark(
     for k, v in merged.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def release_checkpoints(spark: SparkSession) -> int:
+    """Unpersist every pinned RDD, including ``localCheckpoint`` storage.
+
+    The iterative operators (connected components, pagerank, scalable
+    surrogate keys) cut lineage with ``localCheckpoint``, which pins
+    blocks in executor storage for the session's lifetime —
+    ``spark.catalog.clearCache()`` does NOT release them (it only covers
+    catalog-cached plans). In long-lived sessions running many such
+    queries the accumulated blocks degrade everything through GC
+    pressure (measured +40% battery drift before the harnesses started
+    clearing them). Call between logically-independent queries; returns
+    the number of RDDs released.
+    """
+    spark.catalog.clearCache()
+    rdds = list(
+        spark.sparkContext._jsc.getPersistentRDDs().values()  # noqa: SLF001
+    )
+    for rdd in rdds:
+        rdd.unpersist()
+    return len(rdds)
