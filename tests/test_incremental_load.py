@@ -80,3 +80,39 @@ def test_incremental_load_reconciles_ids_and_fks(spark, tmp_path):
                                MEERTRAP_TARGETS, out)
     for name in ("schedule_block", "observation", "beam", "candidate", "sp_candidate"):
         assert loaded3[name].count() == loaded2[name].count(), name
+
+
+def test_incremental_load_matches_on_every_unique_set(spark, tmp_path):
+    """Round-6 ADVICE: a table with extra_unique_keys must get the same
+    conflict semantics on the incremental path as in the merge sinks —
+    a row matching an existing row on ANY unique set adopts the
+    existing id instead of re-appending."""
+    from ska_src_maltopuft_etl_spark.sinks import TargetInformation
+
+    out = str(tmp_path / "wh")
+    target = TargetInformation(
+        "account", "", "id",
+        unique_key=("email",),
+        extra_unique_keys=(("username",),),
+    )
+    b1 = spark.createDataFrame(
+        [(1, "a@x.io", "alice"), (2, "b@x.io", "bob")],
+        "id long, email string, username string",
+    )
+    loaded = incremental_load(spark, {"account": b1}, [target], out)
+    assert loaded["account"].count() == 2
+
+    b2 = spark.createDataFrame(
+        [
+            (1, "a@x.io", "alice2"),      # matches set 1 (email)
+            (2, "bob@new.io", "bob"),     # matches ONLY set 2 (username)
+            (3, "c@x.io", "carol"),       # novel
+        ],
+        "id long, email string, username string",
+    )
+    loaded = incremental_load(spark, {"account": b2}, [target], out)
+    rows = {r["username"]: r["id"] for r in loaded["account"].collect()}
+    # bob matched on username alone -> adopted id 2, no duplicate row;
+    # carol appended above the existing max id.
+    assert loaded["account"].count() == 3
+    assert rows == {"alice": 1, "bob": 2, "carol": 3}
