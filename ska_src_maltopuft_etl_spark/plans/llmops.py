@@ -1096,3 +1096,96 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _docs(spark, sf_dir).select("lang", "doc_id", "n_chars")
     return sketches.weighted_sample_per_group(d, "lang", "doc_id", "n_chars", 20)
+
+
+# ---------------------------------------------------------------------------
+# Semantic clustering (cluster-then-curate)
+# ---------------------------------------------------------------------------
+
+def _kmeans_oracle(k: int = 4, iters: int = 2, scale: int = 1024, dims: int = 64) -> str:
+    """Unrolled SQL twin of the integer Lloyd recurrence (one pair of
+    dist/assign/update/guard CTEs per round + a final assignment)."""
+    ctes = [
+        f"""q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS e
+      FROM embeddings)""",
+        f"""dims AS (
+      SELECT vec_id, i - 1 AS d, e[i] AS v
+      FROM q CROSS JOIN generate_series(1, {dims}) AS gs(i))""",
+        f"""c0 AS (
+      SELECT vec_id AS cid, d, v FROM dims
+      WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}))""",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"""d{t} AS (
+      SELECT dm.vec_id, c.cid, SUM((dm.v - c.v) * (dm.v - c.v)) AS dist
+      FROM dims dm JOIN c{t - 1} c USING (d) GROUP BY dm.vec_id, c.cid)"""
+        )
+        ctes.append(
+            f"""a{t} AS (
+      SELECT vec_id, cid FROM d{t}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+        )
+        ctes.append(
+            f"""u{t} AS (
+      SELECT a.cid, dm.d,
+             CAST(FLOOR(CAST(SUM(dm.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+      FROM a{t} a JOIN dims dm USING (vec_id) GROUP BY a.cid, dm.d)"""
+        )
+        ctes.append(
+            f"""c{t} AS (
+      SELECT c.cid, c.d, COALESCE(u.v, c.v) AS v
+      FROM c{t - 1} c LEFT JOIN u{t} u ON u.cid = c.cid AND u.d = c.d)"""
+        )
+    ctes.append(
+        f"""df AS (
+      SELECT dm.vec_id, c.cid, CAST(SUM((dm.v - c.v) * (dm.v - c.v)) AS BIGINT) AS dist
+      FROM dims dm JOIN c{iters} c USING (d) GROUP BY dm.vec_id, c.cid)"""
+    )
+    ctes.append(
+        """af AS (
+      SELECT vec_id, cid, dist FROM df
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"""
+    )
+    ctes.append(
+        """sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS cluster_size FROM af GROUP BY cid)"""
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + """
+    SELECT af.vec_id, af.cid AS cluster, af.dist AS dist_sq, s.cluster_size
+    FROM af JOIN sizes s USING (cid)"""
+    )
+
+
+@register(
+    "cluster_documents_kmeans",
+    oracle=_kmeans_oracle(),
+    covers=("J1", "A2", "W1"),
+    description=(
+        "deterministic fixed-point k-means over document embeddings "
+        "(seeded by smallest ids, 2 unrolled integer Lloyd rounds) — the "
+        "cluster-then-curate primitive: per-cluster sampling, topic "
+        "balancing, near-dup region spotting"
+    ),
+)
+def cluster_documents_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster every embedding into k=4 topics, bit-reproducibly.
+
+    Float Lloyd iterations are engine-dependent (centroid-mean addition
+    order); see
+    :mod:`ska_src_maltopuft_etl_spark.operators.clustering` for the
+    integer-exact recurrence both engines replay identically. The
+    oracle unrolls the same two rounds in SQL.
+    """
+    from ska_src_maltopuft_etl_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    return kmeans_fixed_point(
+        _emb(spark, sf_dir), "vec_id", "embedding", k=4, iters=2
+    )

@@ -198,6 +198,8 @@ _TAIL = [
     "rollup_revenue",
     "percentile_stats",
     "incremental_agg_events",
+    # Round-6 addition (tail; certified by the local three-SF sweep).
+    "cluster_documents_kmeans",
 ]
 assert len(_TAIL) == len(set(_TAIL)), "duplicate entries in _TAIL"
 assert len(QUERIES) - len({k for k in _TAIL if k in QUERIES}) <= 50, (
