@@ -25,10 +25,18 @@ def main() -> int:
         ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, check=True,
     ).stdout.strip()
-    dirty = subprocess.run(
-        ["git", "-C", REPO, "status", "--porcelain"],
-        capture_output=True, text=True, check=True,
-    ).stdout.strip()
+    # Verification artifacts (the gate's own log, this sweep's output,
+    # the driver-managed progress file) don't count as code dirt — they
+    # are BYPRODUCTS of running the round-end checks at this commit.
+    _artifacts = {"GATE.log", "CORRECTNESS_FULL.txt", "PROGRESS.jsonl"}
+    dirty = "\n".join(
+        ln
+        for ln in subprocess.run(
+            ["git", "-C", REPO, "status", "--porcelain"],
+            capture_output=True, text=True, check=True,
+        ).stdout.splitlines()
+        if ln[3:].strip() not in _artifacts
+    ).strip()
     lines = [
         f"# Full local oracle sweep ({commit}{'+dirty' if dirty else ''}), "
         "all queries, three SFs"
