@@ -15,6 +15,10 @@ from ska_src_maltopuft_etl_spark.operators.dedup import (
 from ska_src_maltopuft_etl_spark.operators.graph import (
     connected_components,
     dedup_clusters,
+    pagerank_fixed_point,
+)
+from ska_src_maltopuft_etl_spark.operators.clustering import (
+    kmeans_fixed_point,
 )
 from ska_src_maltopuft_etl_spark.operators.bloom import (
     bloom_might_contain,
@@ -63,6 +67,8 @@ __all__ = [
     "dedup_keep_first",
     "interval_join",
     "interval_join_bucketed",
+    "kmeans_fixed_point",
+    "pagerank_fixed_point",
     "remap_keys",
     "surrogate_key",
     "validated_join",
