@@ -17,7 +17,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ska_src_maltopuft_etl_spark.engine import get_spark, release_checkpoints
+from ska_src_maltopuft_etl_spark.engine import get_spark, release_all_persisted
 from ska_src_maltopuft_etl_spark.plans import QUERIES
 
 
@@ -69,7 +69,7 @@ def main() -> None:
             # use ~18 of them) live in RDD storage and otherwise
             # accumulate across the battery, degrading every later
             # query via GC pressure (measured +40% battery drift).
-            release_checkpoints(spark)
+            release_all_persisted(spark)
         timings[name] = round(best, 3)
     total = round(sum(timings.values()), 3)
     # Round 2 postmortem: the single-line JSON with all 98 per-query

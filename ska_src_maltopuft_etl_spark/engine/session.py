@@ -70,8 +70,9 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def release_checkpoints(spark: SparkSession) -> int:
-    """Unpersist every pinned RDD, including ``localCheckpoint`` storage.
+def release_all_persisted(spark: SparkSession) -> int:
+    """Unpersist EVERY pinned RDD in the session — ``localCheckpoint``
+    storage AND caller-created ``.cache()``/``.persist()`` caches alike.
 
     The iterative operators (connected components, pagerank, scalable
     surrogate keys) cut lineage with ``localCheckpoint``, which pins
@@ -80,8 +81,15 @@ def release_checkpoints(spark: SparkSession) -> int:
     catalog-cached plans). In long-lived sessions running many such
     queries the accumulated blocks degrade everything through GC
     pressure (measured +40% battery drift before the harnesses started
-    clearing them). Call between logically-independent queries; returns
-    the number of RDDs released.
+    clearing them).
+
+    .. warning:: This is a session-wide reset, not a scoped release:
+       caches a live pipeline still depends on are dropped too (they
+       recompute lazily on next access — correct, but the cache benefit
+       is lost). Call only between logically-independent queries — the
+       bench/correctness harnesses' usage — never between stages of one
+       pipeline that deliberately caches intermediates. Returns the
+       number of RDDs released.
     """
     spark.catalog.clearCache()
     rdds = list(
@@ -90,3 +98,8 @@ def release_checkpoints(spark: SparkSession) -> int:
     for rdd in rdds:
         rdd.unpersist()
     return len(rdds)
+
+
+#: Deprecated alias — the old name implied only checkpoint storage was
+#: released, which invited misuse between stages of a live pipeline.
+release_checkpoints = release_all_persisted

@@ -25,6 +25,7 @@ from typing import Sequence
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _order_cols(order_by: Sequence[Column | str]) -> list[Column]:
@@ -56,6 +57,7 @@ def surrogate_key(
     order_by: Sequence[Column | str],
     offset: int = 1,
     scalable: bool = False,
+    storage_level: StorageLevel | None = None,
 ) -> DataFrame:
     """Add a contiguous ``offset``-based integer key following a
     deterministic global order (reference W5 ``with_row_index``).
@@ -64,8 +66,14 @@ def surrogate_key(
       at dimension-table scale (the reference's frames);
     - ``scalable=True``: sort, then per-partition row numbers + exclusive
       prefix-sum of partition counts (the classic zipWithIndex technique
-      done in the DataFrame API via ``spark_partition_id``): no
+      done in the DataFrame API via ``monotonically_increasing_id``): no
       single-partition window, suitable for billions of rows.
+    - ``storage_level``: storage for the scalable path's one-time
+      materialization of the sorted fact (``localCheckpoint`` pins the
+      FULL fact on executor storage until released). ``None`` uses
+      Spark's default (memory-and-disk); pass
+      ``StorageLevel.DISK_ONLY`` to trade latency for headroom when the
+      fact dwarfs executor memory. Ignored for the window path.
     """
     ordered = _order_cols(order_by)
     if not scalable:
@@ -92,17 +100,41 @@ def surrogate_key(
     # identical ids.
     local = sorted_df.withColumn(
         "__mid", F.monotonically_increasing_id()
-    ).localCheckpoint()
+    ).localCheckpoint(eager=True, storageLevel=storage_level)
     pid = F.shiftright("__mid", 33)
-    # exclusive prefix sum of partition sizes — tiny aggregate, broadcast.
+    # Per-partition sizes: one tiny aggregate (a row per partition),
+    # collected to the driver for the exclusive prefix sum.
     # repartitionByRange assigns ascending key ranges to ascending
-    # partition ids, so ordering the prefix sum by pid follows the
-    # global sort order.
-    sizes = local.groupBy(pid.alias("__pid")).count()
-    w_cum = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = sizes.withColumn("__poffset", F.coalesce(F.sum("count").over(w_cum), F.lit(0))).drop(
-        "count"
+    # partition ids, so accumulating in pid order follows the global
+    # sort order. Collecting (vs a window over the aggregate) costs one
+    # extra tiny job against the checkpointed fact and buys a RUNTIME
+    # INVARIANT CHECK: the numbering relies on the per-partition counter
+    # inside monotonically_increasing_id being CONSECUTIVE from 0 — the
+    # documented contract only guarantees monotonic+unique. Verify
+    # max(local id) + 1 == count per partition and fail loudly if the
+    # bit layout ever changes, instead of silently mis-numbering ids
+    # that downstream FK keymaps then propagate.
+    sizes = (
+        local.groupBy(pid.alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__cnt"), F.max("__mid").alias("__maxmid"))
+        .collect()
     )
+    running = 0
+    rows: list[tuple[int, int]] = []
+    for r in sorted(sizes, key=lambda r: r["__pid"]):
+        local_max = r["__maxmid"] - (r["__pid"] << 33)
+        if local_max + 1 != r["__cnt"]:
+            raise RuntimeError(
+                "surrogate_key(scalable=True): monotonically_increasing_id "
+                f"is no longer a consecutive per-partition counter (pid "
+                f"{r['__pid']}: max local id {local_max}, count "
+                f"{r['__cnt']}). Refusing to emit non-contiguous ids; use "
+                "scalable=False or restore the row_number fallback."
+            )
+        rows.append((r["__pid"], running))
+        running += r["__cnt"]
+    spark = df.sparkSession
+    offsets = spark.createDataFrame(rows, "__pid long, __poffset long")
     return (
         local.withColumn("__pid", pid)
         .join(F.broadcast(offsets), "__pid")

@@ -1102,17 +1102,25 @@ def weighted_sample_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Semantic clustering (cluster-then-curate)
 # ---------------------------------------------------------------------------
 
-def _kmeans_oracle(k: int = 4, iters: int = 2, scale: int = 1024, dims: int = 64) -> str:
+def _kmeans_oracle(k: int = 4, iters: int = 2, scale: int = 1024) -> str:
     """Unrolled SQL twin of the integer Lloyd recurrence (one pair of
-    dist/assign/update/guard CTEs per round + a final assignment)."""
+    dist/assign/update/guard CTEs per round + a final assignment).
+
+    Dimensionality is derived from the data (``len(e)`` of the first
+    vector, same as the LSH oracle's ``dims`` CTE) rather than
+    hardcoded — DuckDB returns NULL for out-of-range ``e[i]`` and SUM
+    skips NULLs, so a hardcoded dim count would silently truncate or
+    pad distances if the embedding width ever changed."""
     ctes = [
         f"""q AS (
       SELECT vec_id, list_transform(embedding,
                x -> CAST(FLOOR(CAST(x AS DOUBLE) * {scale} + 0.5) AS BIGINT)) AS e
       FROM embeddings)""",
-        f"""dims AS (
+        """dd AS (
+      SELECT len(e) AS dim FROM q LIMIT 1)""",
+        """dims AS (
       SELECT vec_id, i - 1 AS d, e[i] AS v
-      FROM q CROSS JOIN generate_series(1, {dims}) AS gs(i))""",
+      FROM q, dd, UNNEST(generate_series(1, dim)) AS gs(i))""",
         f"""c0 AS (
       SELECT vec_id AS cid, d, v FROM dims
       WHERE vec_id IN (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}))""",

@@ -93,10 +93,20 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # `knn_cosine_ivf` remains in-window, covers J1/W1 multiply held) rotate
 # to the tail. Verified at edit time: every §2 ID retains >=1 in-window
 # certified query after the swap.
+#
+# Round 7: ONE-TIME amendment per the round-6 judge directive
+# (VERDICT.md "Next round" #2): `cluster_documents_kmeans` (the k-means
+# family's only representative, tail-only since round 6) moves in-window
+# for driver certification. In exchange `session_window_agg` rotates to
+# the tail — verified at edit time: its covers (W4, W6, A2) are held by
+# 4, 8 and 13 other in-window rows respectively, and kmeans' covers
+# (J1, A2, W1) were already multiply held.
 _TAIL = [
     # Round-5 window swap (see above).
     "q01_pricing_summary",
     "knn_cosine_bruteforce",
+    # Round-7 window swap (see above).
+    "session_window_agg",
     # Round-3 additions (window frozen at the round-2 certified 50; all
     # new queries land in the tail and are certified by the local
     # three-SF oracle sweep instead).
@@ -198,8 +208,6 @@ _TAIL = [
     "rollup_revenue",
     "percentile_stats",
     "incremental_agg_events",
-    # Round-6 addition (tail; certified by the local three-SF sweep).
-    "cluster_documents_kmeans",
 ]
 assert len(_TAIL) == len(set(_TAIL)), "duplicate entries in _TAIL"
 assert len(QUERIES) - len({k for k in _TAIL if k in QUERIES}) <= 50, (

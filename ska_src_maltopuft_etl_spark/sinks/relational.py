@@ -27,7 +27,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -400,12 +400,19 @@ def load_targets_on_conflict(
             # NULLS DISTINCT: only rows with a fully non-NULL key can
             # conflict — dedup those; NULL-keyed rows pass through
             # untouched (they all insert, exactly as ON CONFLICT would).
+            # One window pass per key set, referencing df ONCE — a
+            # where/union split would reference (and recompute) the
+            # whole upstream plan twice per constraint, doubling the
+            # subtree for every additional unique key set.
             nonnull = None
             for c in ks:
                 e = F.col(c).isNotNull()
                 nonnull = e if nonnull is None else (nonnull & e)
-            df = df.where(~nonnull).unionByName(
-                df.where(nonnull).dropDuplicates(list(ks))
+            w = Window.partitionBy(*ks).orderBy(F.col(target.primary_key))
+            df = (
+                df.withColumn("__rn", F.row_number().over(w))
+                .where((F.col("__rn") == 1) | ~nonnull)
+                .drop("__rn")
             )
 
         # ensure the target exists (Spark creates it on first append —

@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 import __spark_entry__ as entrymod
-from ska_src_maltopuft_etl_spark.engine import get_spark, release_checkpoints
+from ska_src_maltopuft_etl_spark.engine import get_spark, release_all_persisted
 
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
@@ -73,7 +73,7 @@ def main() -> int:
         # release any localCheckpoint storage the previous query pinned
         # (clearCache doesn't cover RDD storage; it otherwise
         # accumulates across the 136-query sweep — see bench.py)
-        release_checkpoints(spark)
+        release_all_persisted(spark)
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
