@@ -29,6 +29,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 
 @dataclass(frozen=True)
@@ -439,6 +440,31 @@ def load_targets_on_conflict(
         def sq(c: str) -> str:
             return '"' + scols[c.lower()] + '"'
 
+        # Spark's Derby dialect maps StringType to CLOB (both when it
+        # creates the staging table and in setNull on append — so the
+        # stage CANNOT be pre-typed VARCHAR), and Derby supports no
+        # comparison operators on LOBs at all: a string unique key in
+        # the NOT EXISTS guard raises ERROR 42818 (found by the
+        # batch-order commutativity property test). CAST both sides of
+        # every string-key comparison, and the staged value in the
+        # insert list, to VARCHAR(32672) — Derby's maximum; longer
+        # values raise truncation rather than silently merging wrong.
+        # Postgres maps StringType to TEXT and is unaffected (its
+        # branch below uses the columns bare).
+        str_cols = {
+            f.name.lower()
+            for f in df.schema.fields
+            if isinstance(f.dataType, StringType)
+        }
+
+        def scast(c: str) -> str:
+            v = f"s.{sq(c)}"
+            return f"CAST({v} AS VARCHAR(32672))" if c.lower() in str_cols else v
+
+        def tcast(c: str) -> str:
+            v = f"t.{tq(c)}"
+            return f"CAST({v} AS VARCHAR(32672))" if c.lower() in str_cols else v
+
         insert_cols = ", ".join(tq(c) for c in df.columns)
         select_cols = ", ".join(f"s.{sq(c)}" for c in df.columns)
         if is_postgres:
@@ -458,14 +484,18 @@ def load_targets_on_conflict(
                 # Plain equality = NULLS DISTINCT (a NULL key column
                 # makes the comparison unknown, the EXISTS finds no
                 # match, and the row inserts — Postgres semantics).
-                match = " AND ".join(f"t.{tq(c)} = s.{sq(c)}" for c in ks)
+                match = " AND ".join(f"{tcast(c)} = {scast(c)}" for c in ks)
                 guards.append(
                     f"NOT EXISTS (SELECT 1 FROM {name} t WHERE {match})"
                 )
             where = f" WHERE {' AND '.join(guards)}" if guards else ""
+            # CLOB is not assignable to VARCHAR either — cast staged
+            # string values in the insert list too (VARCHAR assigns
+            # fine to both VARCHAR and CLOB targets).
+            cast_cols = ", ".join(scast(c) for c in df.columns)
             merge = (
                 f"INSERT INTO {name} ({insert_cols}) "
-                f"SELECT {select_cols} FROM {stage} s{where}"
+                f"SELECT {cast_cols} FROM {stage} s{where}"
             )
         execute_jdbc_sql(
             spark, jdbc_url, [merge, f"DROP TABLE {stage}"], properties=props
