@@ -4,8 +4,19 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is materialized via a count-style action (collect for small
-results) so the full plan executes; timings are wall-clock per query.
+Every query is timed under TWO actions (round-6 VERDICT item #3):
+
+- ``count()`` — the historical metric, kept for round-over-round
+  comparability. Caveat: Catalyst prunes expensive FINAL projections
+  under a count (e.g. a signature string built in the last select), so
+  projection-heavy queries under-report.
+- ``write.format("noop")`` — a blackhole sink that materializes every
+  output column, so the full projection cost is paid. This is the
+  honest end-to-end number and the per-query map archived as
+  ``queries_noop_sink`` in BENCH_FULL.json.
+
+Usage: python bench.py [--config harness.yml]
+(YAML keys: sf_dir, bench_rounds, queries — see config.HarnessConfig.)
 """
 
 from __future__ import annotations
@@ -17,14 +28,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ska_src_maltopuft_etl_spark.config import load_harness_config
 from ska_src_maltopuft_etl_spark.engine import get_spark, release_all_persisted
 from ska_src_maltopuft_etl_spark.plans import QUERIES
 
 
-
-
 def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cfg_path = None
+    if "--config" in sys.argv:
+        cfg_path = sys.argv[sys.argv.index("--config") + 1]
+    cfg = load_harness_config(cfg_path)
+    sf_dir = cfg.sf_dir
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     try:
         sf_val = float(sf)
@@ -37,6 +51,12 @@ def main() -> None:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     next(iter(QUERIES.values())).fn(spark, sf_dir).count()
 
+    specs = {
+        k: v
+        for k, v in QUERIES.items()
+        if not cfg.queries or k in set(cfg.queries)
+    }
+
     # Per-query time = best of N full executions (default 3; round-5
     # judge item #4 — min-of-2 still let ±8-10% battery noise swamp
     # real code deltas). Single-shot timings on a shared box mix
@@ -44,24 +64,26 @@ def main() -> None:
     # run-to-run swings on identical code. Min-of-N is the standard
     # steady-state estimator; each round still executes the complete
     # plan from the parquet scan up (cache cleared between).
-    rounds = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3")))
+    rounds = cfg.bench_rounds
     timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
+    timings_noop: dict[str, float] = {}
+    for name, spec in specs.items():
         best = None
+        best_noop = None
         for _ in range(rounds):
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
-            # count() runs the complete plan; value-level verification is
-            # the oracle harness's job, and a second action (collect)
-            # would re-execute the whole DAG. Caveat (kept for
-            # round-over-round comparability): count() lets Catalyst
-            # prune expensive FINAL projections (e.g. a signature
-            # string built in the last select), so projection-heavy
-            # queries under-report here; the oracle harness (collect)
-            # pays the full cost.
             df.count()
             elapsed = time.time() - t0
             best = elapsed if best is None else min(best, elapsed)
+            release_all_persisted(spark)
+            # Second execution from the scan up, into the noop sink —
+            # pays the full final-projection cost count() may prune.
+            t0 = time.time()
+            df = spec.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            elapsed = time.time() - t0
+            best_noop = elapsed if best_noop is None else min(best_noop, elapsed)
             # queries are independent; drop any intermediates a query
             # pinned so later timings aren't distorted by cache/GC
             # pressure. clearCache only unpins catalog-cached frames —
@@ -71,35 +93,48 @@ def main() -> None:
             # query via GC pressure (measured +40% battery drift).
             release_all_persisted(spark)
         timings[name] = round(best, 3)
+        timings_noop[name] = round(best_noop, 3)
     total = round(sum(timings.values()), 3)
-    # Round 2 postmortem: the single-line JSON with all 98 per-query
+    total_noop = round(sum(timings_noop.values()), 3)
+    # Round 2 postmortem: the single-line JSON with all per-query
     # timings outgrew the driver's tail capture and the headline line was
     # truncated away ("parsed": null in BENCH_r02.json). Emit the full
     # map on its own (non-final) line for humans/archives, then a SHORT
     # final JSON line — same contract keys, but "queries" bounded to the
     # slowest 12 so the line stays well under any tail-capture limit.
-    full = {"metric": "per_query_wall_sec_full", "queries": timings, "sf": sf_val,
-            "rounds": rounds}
+    full = {
+        "metric": "per_query_wall_sec_full",
+        "queries": timings,
+        "queries_noop_sink": timings_noop,
+        "sf": sf_val,
+        "rounds": rounds,
+        "config": cfg_path,
+    }
     print(json.dumps(full))
     # Also archive in-repo so every round's full battery is diffable
-    # (the driver's BENCH_r{N}.json keeps only the final line).
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL.json"), "w"
-        ) as f:
-            json.dump(full, f, indent=1, sort_keys=True)
-    except OSError:
-        pass
+    # (the driver's BENCH_r{N}.json keeps only the final line). Subset
+    # runs (--config queries: [...]) must not clobber the archive.
+    if not cfg.queries:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_FULL.json"), "w"
+            ) as f:
+                json.dump(full, f, indent=1, sort_keys=True)
+        except OSError:
+            pass
     slowest = dict(
         sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:12]
     )
     print(
         json.dumps(
             {
+                # count()-based total: the comparable series back to r1.
                 "metric": "total_query_battery_wall_sec",
                 "value": total,
                 "unit": "sec",
+                # noop-sink total: full final-projection cost included.
+                "noop_sink_total_sec": total_noop,
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf_val,

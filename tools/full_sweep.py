@@ -6,7 +6,8 @@ the combined log to CORRECTNESS_FULL.txt with a header recording the
 exact commit the sweep certifies (round-5 VERDICT item #3: the artifact
 must be reproducible against a hash).
 
-Usage: python tools/full_sweep.py [out_path]
+Usage: python tools/full_sweep.py [out_path] [--config harness.yml]
+(YAML keys: sweep_sfs, testdata_root — see config.HarnessConfig.)
 """
 
 from __future__ import annotations
@@ -16,11 +17,20 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SFS = ("sf0.001", "sf0.01", "sf0.1")
+sys.path.insert(0, REPO)
+
+from ska_src_maltopuft_etl_spark.config import load_harness_config  # noqa: E402
 
 
 def main() -> int:
-    out_path = sys.argv[1] if len(sys.argv) > 1 else os.path.join(REPO, "CORRECTNESS_FULL.txt")
+    cfg_path = None
+    if "--config" in sys.argv:
+        cfg_path = sys.argv[sys.argv.index("--config") + 1]
+    cfg = load_harness_config(cfg_path)
+    positional = [
+        a for a in sys.argv[1:] if a != "--config" and a != cfg_path
+    ]
+    out_path = positional[0] if positional else os.path.join(REPO, "CORRECTNESS_FULL.txt")
     commit = subprocess.run(
         ["git", "-C", REPO, "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True, check=True,
@@ -39,14 +49,15 @@ def main() -> int:
     ).strip()
     lines = [
         f"# Full local oracle sweep ({commit}{'+dirty' if dirty else ''}), "
-        "all queries, three SFs"
+        f"all queries, SFs {','.join(cfg.sweep_sfs)}"
+        + (f", config={cfg_path}" if cfg_path else "")
     ]
     rc = 0
-    for sf in SFS:
+    for sf in cfg.sweep_sfs:
         lines.append(f"== {sf}")
         p = subprocess.run(
             [sys.executable, os.path.join(REPO, "tools", "check_correctness.py"),
-             f"/root/testdata/{sf}"],
+             os.path.join(cfg.testdata_root, sf)],
             capture_output=True, text=True, cwd=REPO,
         )
         for ln in p.stdout.splitlines():

@@ -11,7 +11,10 @@ Prints a one-line machine-readable record (commit, dirty flag, pass and
 fail counts) to stdout and appends it to GATE.log so the snapshot commit
 demonstrably follows a green run.
 
-Usage: python tools/round_gate.py [--skip-oracle]
+Usage: python tools/round_gate.py [--skip-oracle] [--config harness.yml]
+(--config pins the oracle's testdata root and is recorded in the
+GATE.log line, so the round-end ritual is reproducible from one file —
+round-6 VERDICT item #6.)
 """
 
 from __future__ import annotations
@@ -23,6 +26,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from ska_src_maltopuft_etl_spark.config import load_harness_config  # noqa: E402
 
 
 def run(cmd: list[str]) -> tuple[int, str]:
@@ -46,10 +52,16 @@ def main() -> int:
     m = re.search(r"(\d+) failed", out_t)
     failed = int(m.group(1)) if m else 0
 
+    cfg_path = None
+    if "--config" in sys.argv:
+        cfg_path = sys.argv[sys.argv.index("--config") + 1]
+    cfg = load_harness_config(cfg_path)
+
     oracle = "skipped"
     if "--skip-oracle" not in sys.argv:
         rc_o, out_o = run(
-            [sys.executable, "tools/check_correctness.py", "/root/testdata/sf0.01"]
+            [sys.executable, "tools/check_correctness.py",
+             os.path.join(cfg.testdata_root, "sf0.01")]
         )
         oracle = "green" if rc_o == 0 and "all queries match" in out_o else "RED"
     else:
@@ -60,6 +72,7 @@ def main() -> int:
         f"{dt.datetime.now(dt.timezone.utc).isoformat(timespec='seconds')} "
         f"gate={status} commit={commit}{'+dirty' if dirty else ''} "
         f"pytest={passed}p/{failed}f oracle={oracle}"
+        f" config={cfg_path or 'defaults'}"
     )
     print(line)
     with open(os.path.join(REPO, "GATE.log"), "a") as f:
