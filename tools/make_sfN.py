@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Deterministic scale-up tier generator (round-6 VERDICT item #1).
+
+Replicates every /root/testdata table REP× (default 10: sf0.1 → ~sf1)
+with key re-spreading so the scaled tier keeps the base tier's
+statistical character instead of degenerating:
+
+- every key domain is offset per replica by (max_key + 1), preserving
+  referential integrity (orders↔lineitem, customer↔orders,
+  part/supplier↔lineitem) and keeping keys unique — group counts,
+  join fan-outs and dedup rates scale LINEARLY, the property a
+  scale-sweep needs to measure super-linear surprises honestly;
+- replica 0 is bit-identical to the base tier;
+- document text is re-tokenized per replica (every token suffixed with
+  the replica tag), so intra-replica duplicate/near-duplicate structure
+  is isomorphic to the base corpus while cross-replica shingle sets are
+  DISJOINT — without this, every doc gains REP-1 exact copies and the
+  dedup workloads change character (component sizes, LSH bucket
+  density) instead of scaling;
+- embeddings are dimension-ROTATED per replica (a permutation: exact
+  same norms and intra-replica geometry, decorrelated across replicas)
+  for the same reason in cosine space;
+- the small dims (region, nation) are copied as-is;
+- timestamps are kept, so time-windowed workloads see REP× density
+  over the same calendar range — the "bigger data, same period" read
+  of scale-up.
+
+Pure DuckDB (fast, single pass per table, no Spark session needed).
+
+Usage: python tools/make_sfN.py [out_dir] [--rep N] [--base sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out = args[0] if args and not args[0].startswith("-") else "/tmp/sparkgraft_sf1"
+    rep = int(args[args.index("--rep") + 1]) if "--rep" in args else 10
+    base = args[args.index("--base") + 1] if "--base" in args else "/root/testdata/sf0.1"
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {os.cpu_count() or 8}")
+
+    def src(t: str) -> str:
+        return f"read_parquet('{base}/{t}.parquet')"
+
+    def copy(sql: str, t: str) -> None:
+        con.execute(
+            f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)"
+        )
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+        print(f"{t}: {n} rows")
+
+    def dom(t: str, k: str) -> int:
+        """Per-replica key offset = max+1 (keys stay unique, ranges disjoint)."""
+        return int(con.execute(f"SELECT max({k}) + 1 FROM {src(t)}").fetchone()[0])
+
+    o_off = dom("orders", "o_orderkey")
+    c_off = dom("customer", "c_custkey")
+    p_off = dom("part", "p_partkey")
+    s_off = dom("supplier", "s_suppkey")
+    d_off = dom("documents", "doc_id")
+    v_off = dom("embeddings", "vec_id")
+    e_off = dom("events", "event_id")
+    u_off = dom("events", "user_id")
+
+    rep_join = f"CROSS JOIN range({rep}) rp(r)"
+
+    # dims: copied as-is (at 100 TB these stay broadcast-sized).
+    copy(f"SELECT * FROM {src('region')}", "region")
+    copy(f"SELECT * FROM {src('nation')}", "nation")
+
+    copy(
+        f"SELECT s_suppkey + r * {s_off} AS s_suppkey, s_name, s_nationkey, "
+        f"s_acctbal FROM {src('supplier')} {rep_join}",
+        "supplier",
+    )
+    copy(
+        f"SELECT p_partkey + r * {p_off} AS p_partkey, p_name, p_brand, p_type, "
+        f"p_size, p_retailprice FROM {src('part')} {rep_join}",
+        "part",
+    )
+    copy(
+        f"SELECT c_custkey + r * {c_off} AS c_custkey, c_name, c_nationkey, "
+        f"c_acctbal, c_mktsegment FROM {src('customer')} {rep_join}",
+        "customer",
+    )
+    copy(
+        f"SELECT o_orderkey + r * {o_off} AS o_orderkey, "
+        f"o_custkey + r * {c_off} AS o_custkey, o_orderstatus, o_totalprice, "
+        f"o_orderdate, o_orderpriority FROM {src('orders')} {rep_join}",
+        "orders",
+    )
+    copy(
+        f"SELECT l_orderkey + r * {o_off} AS l_orderkey, "
+        f"l_partkey + r * {p_off} AS l_partkey, "
+        f"l_suppkey + r * {s_off} AS l_suppkey, "
+        f"l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        f"l_returnflag, l_linestatus, l_shipdate FROM {src('lineitem')} {rep_join}",
+        "lineitem",
+    )
+    copy(
+        f"SELECT event_id + r * {e_off} AS event_id, ts, "
+        f"user_id + r * {u_off} AS user_id, event_type, value, props "
+        f"FROM {src('events')} {rep_join}",
+        "events",
+    )
+    # text: replica 0 verbatim; others re-tokenized so cross-replica
+    # shingles are disjoint. n_chars tracks the text delta so any
+    # original offset convention is preserved.
+    copy(
+        f"""
+        SELECT doc_id + r * {d_off} AS doc_id,
+               CASE WHEN r = 0 THEN text
+                    ELSE array_to_string(
+                           list_transform(string_split(text, ' '),
+                                          x -> x || 'q' || CAST(r AS VARCHAR)),
+                           ' ')
+               END AS text,
+               lang, source,
+               n_chars + (length(CASE WHEN r = 0 THEN text
+                    ELSE array_to_string(
+                           list_transform(string_split(text, ' '),
+                                          x -> x || 'q' || CAST(r AS VARCHAR)),
+                           ' ')
+               END) - length(text)) AS n_chars
+        FROM {src('documents')} {rep_join}
+        """,
+        "documents",
+    )
+    # embeddings: rotate dimensions by 5r mod dim — a permutation, so
+    # norms and intra-replica cosine geometry are exact; cross-replica
+    # pairs decorrelate.
+    copy(
+        f"""
+        SELECT vec_id + r * {v_off} AS vec_id,
+               CAST(list_transform(generate_series(1, len(embedding)),
+                    i -> embedding[((i - 1 + 5 * r) % len(embedding)) + 1])
+                    AS FLOAT[]) AS embedding,
+               label
+        FROM {src('embeddings')} {rep_join}
+        """,
+        "embeddings",
+    )
+    print(f"wrote {out} (rep={rep}, base={base})")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
