@@ -118,27 +118,91 @@ def simhash_bits(
     text_col: str,
     nbits: int = 64,
     per_row: bool = True,
+    arrow: bool = True,
 ) -> DataFrame:
     """64-bit SimHash per document, emitted as a '0'/'1' bit-string.
 
-    Token hash = md5 (hex) — chosen over xxhash64 so the DuckDB oracle
-    can reproduce it bit-for-bit. For each bit j, the j-th bit of the
+    Token hash = md5 — chosen over xxhash64 so the DuckDB oracle can
+    reproduce it bit-for-bit. For each bit j, the j-th bit of the
     token hash votes ±(token count); the sign of the vote sum is the
     simhash bit. Summing over token OCCURRENCES equals summing over
     distinct tokens weighted by count, so no per-doc counting stage is
-    needed in either formulation; both produce identical bits.
+    needed in either formulation; all three produce identical bits.
 
-    ``per_row=True`` (default): one codegen'd projection — hash each
-    token once, fold a 64-lane vote vector over the token array
-    (``aggregate`` + ``zip_with``), take signs. No shuffle, no row
-    explosion; measured ~3× faster than the aggregate form (which
-    pushes docs × tokens × 64 exploded rows through an exchange).
-    Embarrassingly parallel at any scale.
+    ``per_row=True, arrow=True`` (default): Arrow ``mapInPandas``
+    kernel — md5 each DISTINCT token once per task (memoized ±1
+    numpy vote vectors via ``unpackbits`` over the digest), one
+    vectorized accumulate per (doc, distinct token). No shuffle, no
+    row explosion, embarrassingly parallel. This is the hot path:
+    higher-order-function expressions (``aggregate``/``zip_with``
+    lambdas) are NOT whole-stage-codegen'd — Catalyst evaluates them
+    interpreted, and the 64-lane substr+conv fold below measured 8.0 s
+    at sf0.1 under a full-materialization sink vs 0.5 s for this
+    kernel (noop-sink battery, round 7).
+
+    ``per_row=True, arrow=False``: the pure-expression fold (hash each
+    token once, fold a 64-lane vote vector via ``aggregate`` +
+    ``zip_with``, take signs). Kept as the no-Python-worker twin and
+    as the semantics reference the Arrow kernel is property-tested
+    against.
 
     ``per_row=False``: explode(token) × explode(bit) → hash-agg on
-    (doc, j). Use when per-doc token arrays don't fit a task (pathological
-    document lengths) — the shuffle splits the work instead.
+    (doc, j). Use when per-doc token arrays don't fit a task
+    (pathological document lengths) — the shuffle splits the work.
     """
+    if per_row and arrow:
+        import pandas as pd  # noqa: F401 — worker-side import below
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        src = df.select(id_col, text_col)
+        out_schema = StructType(
+            [src.schema[id_col], StructField("simhash", StringType(), True)]
+        )
+        nb = int(nbits)
+        txt = text_col
+
+        def gen(batches):
+            import hashlib
+            from collections import Counter
+
+            import numpy as np
+            import pandas as pd
+
+            memo: dict = {}
+            nbytes = (nb + 7) // 8
+            for pdf in batches:
+                out = []
+                for text in pdf[txt].tolist():
+                    if text is None:
+                        # expr path: aggregate(NULL array) -> NULL votes,
+                        # concat_ws over NULL -> empty string
+                        out.append("")
+                        continue
+                    votes = np.zeros(nb, dtype=np.int64)
+                    for w, c in Counter(
+                        w for w in text.split(" ") if w
+                    ).items():
+                        v = memo.get(w)
+                        if v is None:
+                            dig = hashlib.md5(w.encode("utf-8")).digest()
+                            bits = np.unpackbits(
+                                np.frombuffer(dig, dtype=np.uint8)[:nbytes]
+                            )[:nb]
+                            v = 2 * bits.astype(np.int16) - 1
+                            # bound the memo so a huge vocabulary can't
+                            # pin task memory (1M x 64 x 2B = 128 MB cap)
+                            if len(memo) < (1 << 20):
+                                memo[w] = v
+                        votes += c * v
+                    out.append(
+                        np.where(votes > 0, 49, 48)
+                        .astype(np.uint8)
+                        .tobytes()
+                        .decode("ascii")
+                    )
+                yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+
+        return src.mapInPandas(gen, out_schema)
     if per_row:
         hashes = F.transform(tokens(F.col(text_col)), lambda w: F.md5(w))
         divisors = F.array(F.lit(8), F.lit(4), F.lit(2), F.lit(1))

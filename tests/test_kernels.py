@@ -132,24 +132,52 @@ def test_astropy_fallback_gated(spark):
         assert row["dec_deg"] == _pytest.approx(row["dec_native"], abs=1e-5)
 
 
-def test_simhash_per_row_equals_aggregate(spark):
-    """The codegen'd per-row fold and the explode+shuffle aggregate
-    formulation must produce identical signatures (the per-row form is
-    the default; the aggregate form is the pathological-doc-length
-    fallback)."""
+def test_simhash_all_three_forms_identical(spark):
+    """The Arrow mapInPandas kernel (default), the per-row expression
+    fold, and the explode+shuffle aggregate formulation must produce
+    identical signatures — the kernel is only allowed to be a faster
+    arrangement of the same math."""
     from ska_src_maltopuft_etl_spark.operators import text
     from ska_src_maltopuft_etl_spark.sources import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
     a = {
         r["doc_id"]: r["simhash"]
-        for r in text.simhash_bits(d, "doc_id", "text", per_row=True).collect()
+        for r in text.simhash_bits(d, "doc_id", "text").collect()
+    }
+    e = {
+        r["doc_id"]: r["simhash"]
+        for r in text.simhash_bits(d, "doc_id", "text", arrow=False).collect()
     }
     b = {
         r["doc_id"]: r["simhash"]
         for r in text.simhash_bits(d, "doc_id", "text", per_row=False).collect()
     }
-    assert a == b and len(a) == d.count()
+    assert a == e == b and len(a) == d.count()
+
+
+def test_simhash_arrow_edge_cases(spark):
+    """NULL text -> empty string; empty/whitespace-only text -> all-zero
+    bits; repeated tokens weight votes by count — matching the
+    expression fold exactly on each."""
+    from ska_src_maltopuft_etl_spark.operators import text
+
+    edge = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "  "), (4, "a  b a"), (5, "a b")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for arrow in (True, False):
+        got[arrow] = {
+            r["doc_id"]: r["simhash"]
+            for r in text.simhash_bits(
+                edge, "doc_id", "text", arrow=arrow
+            ).collect()
+        }
+    assert got[True] == got[False]
+    assert got[True][1] == "" and got[True][2] == "0" * 64
+    # 'a a b' vs 'a b': the doubled token must be able to flip bits
+    assert got[True][4] != got[True][5]
 
 
 def test_integer_ema_fold_matches_python(spark):
