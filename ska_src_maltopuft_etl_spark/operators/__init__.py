@@ -20,6 +20,9 @@ from ska_src_maltopuft_etl_spark.operators.graph import (
 from ska_src_maltopuft_etl_spark.operators.clustering import (
     kmeans_fixed_point,
 )
+from ska_src_maltopuft_etl_spark.operators.quantiles import (
+    exact_percentiles,
+)
 from ska_src_maltopuft_etl_spark.operators.bloom import (
     bloom_might_contain,
     bloom_semi_join,
@@ -65,6 +68,7 @@ __all__ = [
     "connected_components",
     "dedup_clusters",
     "dedup_keep_first",
+    "exact_percentiles",
     "interval_join",
     "interval_join_bucketed",
     "kmeans_fixed_point",

@@ -17,6 +17,7 @@ from ska_src_maltopuft_etl_spark.operators import (
     asof_join_backward,
     dedup_keep_first,
     asof_join_forward,
+    exact_percentiles,
     interval_join,
     interval_join_bucketed,
     remap_keys,
@@ -1185,12 +1186,26 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="exact interpolated percentiles per group (ordered aggregate)",
 )
 def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles via the DISTRIBUTED sort-rank operator
+    (operators/quantiles.py) — bit-identical to ``F.percentile`` but with
+    no per-group executor buffering, the shape that survives groups
+    spanning a meaningful fraction of a 100 TB fact."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
-        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90"),
+    ex = exact_percentiles(o, "o_totalprice", [0.5, 0.9], by=["o_orderpriority"])
+    pct = ex.groupBy("o_orderpriority").agg(
+        F.round(
+            F.min(F.when(F.col("prob") == 0.5, F.col("value"))), 4
+        ).alias("p50"),
+        F.round(
+            F.min(F.when(F.col("prob") == 0.9, F.col("value"))), 4
+        ).alias("p90"),
+    )
+    ext = o.groupBy("o_orderpriority").agg(
         F.round(F.min("o_totalprice"), 2).alias("lo"),
         F.round(F.max("o_totalprice"), 2).alias("hi"),
+    )
+    return pct.join(ext, "o_orderpriority").select(
+        "o_orderpriority", "p50", "p90", "lo", "hi"
     )
 
 
@@ -2003,28 +2018,35 @@ def approx_distinct_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 def approx_quantile_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """percentile_approx's GK sketch guarantees rank error <= n/accuracy;
     the check brackets each estimate between exact quantiles +-2% of
-    rank — the form of the guarantee itself."""
+    rank — the form of the guarantee itself. The exact side runs on the
+    DISTRIBUTED sort-rank operator (operators/quantiles.py), not the
+    built-in value-buffering ``percentile`` aggregate, so the
+    verification query itself carries the 100 TB-safe shape."""
     li = _t(spark, sf_dir, "lineitem")
-    exact = F.expr(
-        "percentile(l_extendedprice, array(0.23, 0.25, 0.27, 0.73, 0.75, 0.77))"
+    probs = [0.23, 0.25, 0.27, 0.73, 0.75, 0.77]
+    ex = exact_percentiles(li, "l_extendedprice", probs, by=["l_returnflag"])
+
+    def _at(p: float):
+        return F.min(F.when(F.col("prob") == p, F.col("value")))
+
+    exw = ex.groupBy("l_returnflag").agg(
+        *[_at(p).alias(f"__e{i}") for i, p in enumerate(probs)]
     )
-    approx = F.expr(
-        "percentile_approx(l_extendedprice, array(0.25, 0.75), 1000)"
+    ap = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_approx(l_extendedprice, array(0.25, 0.75), 1000)"
+        ).alias("__ap")
     )
-    return (
-        li.groupBy("l_returnflag")
-        .agg(exact.alias("__ex"), approx.alias("__ap"))
-        .select(
-            "l_returnflag",
-            F.round(F.col("__ex")[1], 2).alias("p25_exact"),
-            F.round(F.col("__ex")[4], 2).alias("p75_exact"),
-            (
-                (F.col("__ap")[0] >= F.col("__ex")[0])
-                & (F.col("__ap")[0] <= F.col("__ex")[2])
-                & (F.col("__ap")[1] >= F.col("__ex")[3])
-                & (F.col("__ap")[1] <= F.col("__ex")[5])
-            ).alias("sketch_within_rank_tol"),
-        )
+    return exw.join(ap, "l_returnflag").select(
+        "l_returnflag",
+        F.round(F.col("__e1"), 2).alias("p25_exact"),
+        F.round(F.col("__e4"), 2).alias("p75_exact"),
+        (
+            (F.col("__ap")[0] >= F.col("__e0"))
+            & (F.col("__ap")[0] <= F.col("__e2"))
+            & (F.col("__ap")[1] >= F.col("__e3"))
+            & (F.col("__ap")[1] <= F.col("__e5"))
+        ).alias("sketch_within_rank_tol"),
     )
 
 
