@@ -33,7 +33,13 @@ _DEFAULTS: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     # local mode: the driver JVM IS the executor; the 1g default heap
     # GC-thrashes under 32 task threads. Must be set before JVM launch.
-    "spark.driver.memory": "16g",
+    # 16g/32 slots ≈ 0.3 GB execution memory per task — enough for the
+    # test SFs, but the x100 stress tier measurably starves partial hash
+    # aggregates at that ratio (AGGREGATE_OUT_OF_MEMORY: a task that
+    # cannot acquire its first page cannot even fall back to sort-spill).
+    # On a real cluster this is the executor-memory/cores knob; here the
+    # env var lets the scale harness provision per tier.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
     # Parquet scans: allow large-enough splits that small SFs don't
     # fragment into thousands of empty tasks, while 100 TB inputs still
     # split per-rowgroup.

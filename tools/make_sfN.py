@@ -134,14 +134,21 @@ def main() -> int:
         """,
         "documents",
     )
-    # embeddings: rotate dimensions by 5r mod dim — a permutation, so
-    # norms and intra-replica cosine geometry are exact; cross-replica
-    # pairs decorrelate.
+    # embeddings: per-replica orthogonal transform = dimension rotation
+    # (5r mod dim) composed with a sign-flip pattern keyed on r's bits
+    # (flip dim i iff bit (i mod 7) of r is set). Both are orthogonal
+    # maps applied uniformly within a replica, so norms and
+    # intra-replica cosine geometry are EXACT; cross-replica pairs
+    # decorrelate. The sign-flip disambiguates replicas that share a
+    # rotation (5r mod 64 repeats at r+64), so all transforms are
+    # distinct for rep <= 128 — no duplicate vectors across replicas
+    # (the rotation-only version duplicated pairs (r, r+64) at rep=100).
     copy(
         f"""
         SELECT vec_id + r * {v_off} AS vec_id,
                CAST(list_transform(generate_series(1, len(embedding)),
-                    i -> embedding[((i - 1 + 5 * r) % len(embedding)) + 1])
+                    i -> embedding[((i - 1 + 5 * r) % len(embedding)) + 1]
+                         * (1 - 2 * ((r // (1 << ((i - 1) % 7))) % 2)))
                     AS FLOAT[]) AS embedding,
                label
         FROM {src('embeddings')} {rep_join}
