@@ -248,6 +248,29 @@ def dedup_clusters(
     )
 
 
+def symmetrize(pairs: DataFrame, a: str = "a", b: str = "b") -> DataFrame:
+    """Edge-set symmetrization ``pairs ∪ reversed(pairs)`` in one pass.
+
+    Expressed as an inline explode of ``[(a,b), (b,a)]`` instead of
+    ``pairs.union(pairs.select(b, a))``: the union's two branches are
+    separate plan subtrees, so every exchange below ``pairs`` executes
+    once PER BRANCH (exchange reuse does not collapse them under AQE —
+    measured at the ×100 tier as a duplicated edge-sized shuffle),
+    while the explode doubles rows inside the same task with a single
+    upstream reference. If ``pairs`` is distinct and loop-free, the
+    output is distinct too (the two exploded rows of an (x, y) pair
+    differ whenever x != y).
+    """
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(a).alias(a), F.col(b).alias(b)),
+                F.struct(F.col(b).alias(a), F.col(a).alias(b)),
+            )
+        ).alias("__e")
+    ).select(f"__e.{a}", f"__e.{b}")
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     src: str = "src",
@@ -276,8 +299,9 @@ def pagerank_fixed_point(
     no driver-side graph state. The loop-invariant edge/out-degree and
     node frames are ``localCheckpoint``-ed once before the loop (they
     are referenced in every round; leaving them lazy duplicates their
-    subtrees geometrically in the plan), and the rank frame's linear
-    lineage is cut every 10 rounds so plan size stays O(1) in
+    subtrees geometrically in the plan — see the in-body comment for
+    the measured four-variant shape comparison), and the rank frame's
+    linear lineage is cut every 10 rounds so plan size stays O(1) in
     ``iters``.
 
     Dangling nodes (no out-edges) keep receiving inflow but
@@ -295,25 +319,46 @@ def pagerank_fixed_point(
     """
     teleport = (scale * (100 - damping_pct)) // 100
     # The edge table, out-degrees and node set are loop-invariant and
-    # referenced in EVERY iteration. Materialize them ONCE with
-    # localCheckpoint before entering the loop: without it the plan
-    # tree duplicates the invariant subtrees geometrically per round
-    # (the rank recurrence references both `e_deg` and `nodes`, each
-    # of which references the scan — 5 rounds yields a 64-scan tree),
-    # optimizer/AQE time grows with iteration count, and head-to-head
-    # A/B at sf0.1 (min-of-3, both orders) measured the checkpointed
-    # shape at 3.3 s vs 4.3-4.6 s lazy. At 100 TB the lazy shape is
-    # strictly worse: every AQE re-plan walks the whole deep tree and
-    # the invariant edge shuffle is re-derived per reference.
+    # referenced in EVERY iteration. Materialize them ONCE before
+    # entering the loop: without it the plan tree duplicates the
+    # invariant subtrees geometrically per round (the rank recurrence
+    # references both `e_deg` and `nodes`, each of which references
+    # the scan — 5 rounds yields a 64-scan tree), optimizer/AQE time
+    # grows with iteration count, and head-to-head A/B at sf0.1
+    # (min-of-3, both orders) measured the materialized shape at 3.3 s
+    # vs 4.3-4.6 s lazy. At 100 TB the lazy shape is strictly worse:
+    # every AQE re-plan walks the whole deep tree and the invariant
+    # edge shuffle is re-derived per reference.
     e = edges.select(F.col(src).alias("__src"), F.col(dst).alias("__dst"))
-    out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
     # (src, dst, outdeg) — the outdeg join is loop-invariant too, so
     # fold it into the edge table instead of re-joining it every round.
+    # Shape note (×100-tier A/B, four variants measured head-to-head —
+    # SCALING.md "×100 sweep"): this groupBy+join build double-executes
+    # the edge subtree (the aggregate's partial-agg exchange and the
+    # join's full-row exchange are different exchanges, so nothing is
+    # reusable), which looks wasteful — but every alternative measured
+    # WORSE end-to-end, because what dominates at scale is the LOOP,
+    # and the loop is fastest over localCheckpoint blocks where AQE
+    # broadcast-converts the node-sized rank side each round:
+    # - single repartition reused by both consumers, checkpoint after
+    #   the join: build shuffle −40%, but the loop re-exchanged the
+    #   checkpointed edges (partitioning is hidden at the boundary)
+    #   — 8.1 GB / 117 s vs 6.1 GB / 79 s total;
+    # - persist() instead of checkpoint (InMemoryRelation keeps the
+    #   partitioning visible, loop joins exchange-free): least shuffle
+    #   (4.5 GB) but per-round InMemoryTableScan rounds run ~35%
+    #   slower (cache column-to-row conversion; no AQE runtime join
+    #   conversion without shuffle stages) — 106-117 s wall;
+    # - forcing SHJ via hint on the rank side: 191 s — worst.
+    out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
     e_deg = e.join(out_deg, "__src").localCheckpoint()
     if symmetric:
         # Symmetrized graph: every __src IS a node and every node
         # appears as a __dst, so the source side of the edge table is
         # the node set and the per-round inflow aggregate is total.
+        # The distinct's partial aggregate collapses within the
+        # checkpoint's partitioned blocks, so this exchanges only the
+        # node-sized distinct set, not the edge table.
         nodes = e_deg.select(F.col("__src").alias("node")).distinct().localCheckpoint()
     else:
         nodes = (

@@ -778,7 +778,7 @@ def pagerank_supply_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_partkey") * 2).alias("a"),
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     ).distinct()
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = graph.symmetrize(pairs)
     ranks = graph.pagerank_fixed_point(edges, "a", "b", iters=5, symmetric=True)
     return ranks.orderBy(
         F.col("rank_scaled").desc(), F.col("node").asc()
@@ -1745,12 +1745,14 @@ def supply_graph_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(node_type, degree) -> node count over the symmetrized supply
     graph. Two keyed aggregates with map-side partials; the histogram
     one reads what the first one wrote — no corpus rescan."""
+    from ska_src_maltopuft_etl_spark.operators import graph
+
     li = load_table(spark, sf_dir, "lineitem")
     pairs = li.select(
         (F.col("l_partkey") * 2).alias("a"),
         (F.col("l_suppkey") * 2 + 1).alias("b"),
     ).distinct()
-    edges = pairs.union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    edges = graph.symmetrize(pairs)
     deg = edges.groupBy(F.col("a").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
