@@ -77,8 +77,9 @@ def connected_components(
         .distinct()
     )
     # symmetrize once; every round joins against this static frame
-    und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-    und = und.localCheckpoint(eager=False)
+    # (single-pass explode — the union form re-executes e's distinct
+    # subtree once per branch, see symmetrize())
+    und = symmetrize(e).localCheckpoint(eager=False)
 
     # Propagate over V(edges) ONLY: isolated nodes are trivially their
     # own component and must not ride through every round — at corpus
@@ -176,7 +177,7 @@ def _cc_star(
     )
 
     def large_star(e: DataFrame) -> DataFrame:
-        und = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        und = symmetrize(e)
         m = _min_per_node(und)
         out = (
             und.join(m, "a")
@@ -190,9 +191,20 @@ def _cc_star(
             F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
         )
         m = _min_per_node(ori)  # here all b < a, so m = min neighbor
-        out = ori.join(m, "a").select(
-            F.col("b").alias("a"), F.col("m").alias("b")
-        ).union(ori.join(m, "a").select("a", F.col("m").alias("b")))
+        # one join, two output rows per match via explode — the union
+        # form executed the ori ⋈ m join once PER BRANCH every round
+        out = (
+            ori.join(m, "a")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("b").alias("a"), F.col("m").alias("b")),
+                        F.struct(F.col("a").alias("a"), F.col("m").alias("b")),
+                    )
+                ).alias("__e")
+            )
+            .select("__e.a", "__e.b")
+        )
         return out.where(F.col("a") != F.col("b")).distinct()
 
     def checksum(e: DataFrame):

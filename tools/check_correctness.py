@@ -59,6 +59,14 @@ def main() -> int:
     only = set(sys.argv[2:])
     spark = get_spark(app_name="correctness", conf={"spark.ui.enabled": "false"})
     con = duckdb.connect()
+    # Bound the oracle's spill so an infeasible single-node oracle at a
+    # scaled tier FAILS LOUDLY instead of exhausting the disk (the ×10
+    # LSH and ×100 kmeans/minhash oracles each spilled >60 GB of temp
+    # before this cap existed; the Spark side runs those tiers fine).
+    try:
+        con.execute("SET max_temp_directory_size='40GiB'")
+    except duckdb.Error:
+        pass  # older duckdb without the setting
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
