@@ -68,6 +68,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     timings_noop: dict[str, float] = {}
     for name, spec in specs.items():
+        # progress marker on stderr (stdout stays machine-parseable;
+        # the driver keeps only the final stdout line): long scaled-tier
+        # batteries die mid-run on resource walls, and without this the
+        # failing QUERY is unidentifiable from stage numbers alone.
+        print(f"[bench] {name}", file=sys.stderr, flush=True)
         best = None
         best_noop = None
         for _ in range(rounds):

@@ -2227,7 +2227,7 @@ def time_weighted_average_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg AS (
       SELECT CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(cents) AS BIGINT) AS total,
-             CAST(SUM(i * cents) AS BIGINT) AS weighted
+             SUM(i * cents) AS weighted  -- HUGEINT: internal, not surface
       FROM ranked)
     SELECT n, total,
            CAST(2 * weighted - (n + 1) * total AS DOUBLE)
@@ -2254,19 +2254,26 @@ def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("cents").asc(), F.col("o_custkey").asc())
     ranked = rev.select("cents", F.row_number().over(w).alias("i"))
+    # The rank-weighted sum and the n*total denominator exceed BIGINT
+    # two decades up (first hit at the ×100 tier: Σ i·cents ≈ 3e20 over
+    # 1.5 M customers — ARITHMETIC_OVERFLOW under ANSI mode). Widen the
+    # accumulators to DECIMAL(38,0) — exact like the oracle's HUGEINT,
+    # and both sides round to DOUBLE identically at the final division.
+    dec = "decimal(38,0)"
     agg = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("cents").alias("total"),
-        F.sum(F.col("i") * F.col("cents")).alias("weighted"),
+        F.sum(F.col("i").cast(dec) * F.col("cents")).alias("weighted"),
     )
     return agg.select(
         "n",
         "total",
         (
-            (2 * F.col("weighted") - (F.col("n") + 1) * F.col("total")).cast(
-                "double"
-            )
-            / (F.col("n") * F.col("total")).cast("double")
+            (
+                F.lit(2).cast(dec) * F.col("weighted")
+                - (F.col("n") + 1).cast(dec) * F.col("total")
+            ).cast("double")
+            / (F.col("n").cast(dec) * F.col("total")).cast("double")
         ).alias("gini"),
     )
 
