@@ -63,9 +63,16 @@ def exact_percentiles(
     ``by`` may be empty for a global percentile. The per-group start
     offsets come from a keyed aggregate, so group cardinality is
     unbounded; only partition COUNT drives the tiny driver-side state.
+    NULL ``by`` keys form their own group (null-safe join below), same
+    as ``groupBy`` + ``F.percentile``.
     """
     by = list(by)
     probs = [float(p) for p in probs]
+    bad = [p for p in probs if not 0.0 <= p <= 1.0]
+    if bad:
+        # The built-in percentile raises an AnalysisException here; a
+        # silent (group, prob) omission would be far worse.
+        raise ValueError(f"percentile probabilities must be in [0, 1]: {bad}")
     vals = df.select(
         *by, F.col(value_col).cast("double").alias("__v")
     ).where(F.col(value_col).isNotNull())
@@ -112,9 +119,18 @@ def exact_percentiles(
         .select(*by, "__pi", "__prob", "__pos", "__t.__role", "__t.__need")
     )
 
-    picked = ranked.withColumnRenamed("__gpos", "__need").join(
-        F.broadcast(targets), [*by, "__need"]
-    )
+    # Null-safe equality on the group keys so NULL-keyed groups survive
+    # the join (plain column-name equi-join would drop them, diverging
+    # from groupBy + F.percentile). EqualNullSafe keys still plan as a
+    # BroadcastHashJoin — Catalyst rewrites them into hashable keys.
+    fact = ranked.withColumnRenamed("__gpos", "__need")
+    tgt = F.broadcast(targets)
+    cond = fact["__need"] == tgt["__need"]
+    for c in by:
+        cond = cond & fact[c].eqNullSafe(tgt[c])
+    picked = fact.join(tgt, cond).drop(tgt["__need"])
+    for c in by:
+        picked = picked.drop(tgt[c])
 
     lower = F.floor("__pos").cast("double")
     higher = F.ceil("__pos").cast("double")

@@ -100,3 +100,28 @@ def test_singleton_ties_and_all_null_groups(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "g int, v double")
     assert exact_percentiles(df, "v", [0.5], by=["g"]).count() == 0
+
+
+def test_null_group_key_survives(spark):
+    """A NULL `by` key forms its own group (null-safe target join), the
+    same as groupBy + F.percentile — ADVICE r7: a plain equi-join
+    silently dropped it."""
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), (1, 10.0), (1, 20.0)], "g int, v double"
+    )
+    mine = {
+        (r["g"], r["prob"]): r["value"]
+        for r in exact_percentiles(df, "v", [0.5], by=["g"]).collect()
+    }
+    assert mine == {(None, 0.5): 2.0, (1, 0.5): 15.0}
+
+
+def test_probs_out_of_range_raise(spark):
+    """p outside [0, 1] must raise, not silently omit the (group, prob)
+    row — the built-in percentile raises an analysis error there too."""
+    import pytest
+
+    df = spark.createDataFrame([(1, 1.0)], "g int, v double")
+    for bad in ([1.5], [-0.1], [0.5, 2.0]):
+        with pytest.raises(ValueError, match="must be in"):
+            exact_percentiles(df, "v", bad, by=["g"])

@@ -136,7 +136,8 @@ def main() -> int:
     )
     # embeddings: per-replica orthogonal transform = dimension rotation
     # (5r mod dim) composed with a sign-flip pattern keyed on r's bits
-    # (flip dim i iff bit (i mod 7) of r is set). Both are orthogonal
+    # (flip dim i iff bit ((i - 1) mod 7) of r is set — i is 1-based
+    # from generate_series, so the exponent is 0-based). Both are orthogonal
     # maps applied uniformly within a replica, so norms and
     # intra-replica cosine geometry are EXACT; cross-replica pairs
     # decorrelate. The sign-flip disambiguates replicas that share a
