@@ -15,6 +15,14 @@ Every query is timed under TWO actions (round-6 VERDICT item #3):
   honest end-to-end number and the per-query map archived as
   ``queries_noop_sink`` in BENCH_FULL.json.
 
+Round-8 honest-series additions (round-7 VERDICT item #3): the final
+line reports the NOOP-SINK total as the primary ``value`` (count() kept
+as ``count_total_sec_legacy`` for one more round of series continuity),
+plus the 1-minute load average sampled before and after the battery and
+the drift of a 10-query untouched canary subset (``cfg/bench_canary.json``)
+against its quiet-box reference — so environmental inflation is
+self-evident in the artifact instead of being re-litigated per round.
+
 Usage: python bench.py [--config harness.yml]
 (YAML keys: sf_dir, bench_rounds, queries — see config.HarnessConfig.)
 """
@@ -44,6 +52,21 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
+
+    # Quiesce check (round-7 VERDICT #3a): record the pre-battery load
+    # average in the artifact and warn loudly when the box is already
+    # busy — two rounds of battery-to-battery deltas turned out to be
+    # co-tenant processes, not code. The warning goes to stderr (the
+    # driver keeps stdout's final line only); the numbers go in the
+    # final JSON so the JUDGE can see the environment, not just us.
+    load_start = os.getloadavg()[0]
+    if load_start > 4.0:
+        print(
+            f"[bench] WARNING: 1-min loadavg {load_start:.1f} at start — "
+            f"box is not quiet; totals will not be comparable",
+            file=sys.stderr, flush=True,
+        )
+
     spark = get_spark(app_name="bench", conf={"spark.ui.enabled": "false"})
 
     # Warm the JVM / codegen / parquet footer caches so the first timed
@@ -101,6 +124,30 @@ def main() -> None:
         timings_noop[name] = round(best_noop, 3)
     total = round(sum(timings.values()), 3)
     total_noop = round(sum(timings_noop.values()), 3)
+    load_end = os.getloadavg()[0]
+
+    # Canary drift (round-7 VERDICT #3b): sum of the 10 untouched
+    # canary queries vs their quiet-box reference. ~1.0 = quiet box,
+    # comparable battery; >>1.0 = environmental inflation — read the
+    # battery delta through this lens before calling it a regression.
+    canary_drift = canary_drift_noop = None
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "cfg", "bench_canary.json")
+        ) as f:
+            canary = json.load(f)
+        ref_c = canary["reference_count_sec"]
+        ref_n = canary["reference_noop_sec"]
+        if all(k in timings for k in ref_c):
+            canary_drift = round(
+                sum(timings[k] for k in ref_c) / sum(ref_c.values()), 3
+            )
+            canary_drift_noop = round(
+                sum(timings_noop[k] for k in ref_n) / sum(ref_n.values()), 3
+            )
+    except (OSError, ValueError, KeyError, ZeroDivisionError):
+        pass
     # Round 2 postmortem: the single-line JSON with all per-query
     # timings outgrew the driver's tail capture and the headline line was
     # truncated away ("parsed": null in BENCH_r02.json). Emit the full
@@ -111,6 +158,10 @@ def main() -> None:
         "metric": "per_query_wall_sec_full",
         "queries": timings,
         "queries_noop_sink": timings_noop,
+        "canary_drift": canary_drift,
+        "canary_drift_noop": canary_drift_noop,
+        "loadavg_start": round(load_start, 2),
+        "loadavg_end": round(load_end, 2),
         "sf": sf_val,
         "rounds": rounds,
         "config": cfg_path,
@@ -134,12 +185,20 @@ def main() -> None:
     print(
         json.dumps(
             {
-                # count()-based total: the comparable series back to r1.
-                "metric": "total_query_battery_wall_sec",
-                "value": total,
+                # PRIMARY metric since round 8: noop-sink total — every
+                # output column materialized, final projections paid.
+                "metric": "total_query_battery_noop_sink_sec",
+                "value": total_noop,
                 "unit": "sec",
-                # noop-sink total: full final-projection cost included.
-                "noop_sink_total_sec": total_noop,
+                # count()-based total: the legacy series back to r1,
+                # kept one final round for continuity (r7 VERDICT #3c).
+                "count_total_sec_legacy": total,
+                # Environmental honesty: untouched-canary drift vs the
+                # quiet-box reference (1.0 = quiet) + loadavg brackets.
+                "canary_drift": canary_drift,
+                "canary_drift_noop": canary_drift_noop,
+                "loadavg_start": round(load_start, 2),
+                "loadavg_end": round(load_end, 2),
                 "queries": slowest,
                 "n_queries": len(timings),
                 "sf": sf_val,
