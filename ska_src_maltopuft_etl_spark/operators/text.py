@@ -77,30 +77,59 @@ def language_scores(
     with (count desc, lang asc) tie-break; docs hitting no markers get
     'unknown'.
 
-    Implementation is a single map-only projection: per-language hit
-    counts via ``filter`` higher-order functions, argmax via
-    ``array_min`` over (-count, lang) structs (struct ordering gives the
-    tie-break for free). Zero shuffles, zero driver state —
-    embarrassingly parallel at any corpus size, and ~10× less overhead
-    than the equivalent explode→join→window formulation.
+    Implementation is a map-only pipeline of three STAGED projections:
+    tokenize once, count hits per language once (``filter`` HOFs over
+    the staged token column), then the cheap argmax over plain int
+    columns via ``least`` on (-count, lang) structs (struct ordering
+    gives the tie-break for free). Zero shuffles, zero driver state —
+    embarrassingly parallel at any corpus size.
+
+    Why staged (round 8): the previous single-projection form
+    referenced the ``best`` struct twice, and Spark re-evaluates a
+    non-codegen expression per reference — the whole 5-filter-chain
+    (split included) ran TWICE per row, ~2× the real cost. Staging
+    through selects keeps each heavy expression evaluated once:
+    CollapseProject deliberately refuses to inline non-cheap
+    expressions referenced more than once downstream.
     """
-    toks = tokens(F.col(text_col))
+    langs = sorted(markers)
+    toksed = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
 
     def _contains(stops: Column):
         return lambda w: F.array_contains(stops, w)
 
-    entries = []
-    for lang in sorted(markers):
+    counts = []
+    for i, lang in enumerate(langs):
         stops = F.array(*[F.lit(w) for w in markers[lang]])
-        cnt = F.size(F.filter(toks, _contains(stops)))
-        entries.append(F.struct((-cnt).alias("neg"), F.lit(lang).alias("lang")))
-    best = F.array_min(F.array(*entries))
-    return df.select(
+        counts.append(
+            F.size(F.filter(F.col("__toks"), _contains(stops))).alias(
+                f"__c{i}"
+            )
+        )
+    counted = toksed.select(F.col(id_col), *counts)
+
+    entries = [
+        F.struct(
+            (-F.col(f"__c{i}")).alias("neg"), F.lit(lang).alias("lang")
+        )
+        for i, lang in enumerate(langs)
+    ]
+    # least/greatest need >= 2 args; a single-language marker map
+    # degenerates to that language's count.
+    best = F.least(*entries) if len(entries) > 1 else entries[0]
+    hits = (
+        F.greatest(*[F.col(f"__c{i}") for i in range(len(langs))])
+        if len(langs) > 1
+        else F.col("__c0")
+    )
+    return counted.select(
         F.col(id_col),
         F.when(best["neg"] < 0, best["lang"]).otherwise(F.lit("unknown")).alias(
             "pred_lang"
         ),
-        (-best["neg"]).cast("long").alias("marker_hits"),
+        hits.cast("long").alias("marker_hits"),
     )
 
 

@@ -203,8 +203,12 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the corpus is 100 TB), so its distinct-gram set broadcasts and
     the contamination check is a **map-side** semi-join over the corpus
     shingles — no shuffle of the corpus at all; the only wide exchange
-    is the per-doc shared-gram count aggregate, whose input is already
-    restricted to matching shingles.
+    is the per-doc DISTINCT shared-gram count, whose input is already
+    restricted to matching shingles (round 8: the corpus-wide per-doc
+    shingle dedup used to run BEFORE the restriction — a full shuffle
+    of every corpus gram string; deduplicating after the broadcast
+    join shrinks that exchange to the contaminated slice, the same
+    restriction trick dedup_minhash_lsh uses).
     """
     d = _docs(spark, sf_dir)
     corpus = d.where(F.col("source") != "src0")
@@ -214,9 +218,12 @@ def decontaminate_eval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shingle")
         .distinct()
     )
-    corpus_sh = similarity.ngram_shingles(corpus, "doc_id", "text", n=3)
+    corpus_sh = similarity.ngram_shingles(
+        corpus, "doc_id", "text", n=3, distinct=False
+    )
     shared = (
         corpus_sh.join(F.broadcast(eval_grams), "shingle")
+        .dropDuplicates(["doc_id", "shingle"])
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("shared_ngrams"))
     )
@@ -462,9 +469,15 @@ def boilerplate_ngram_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle universe, so the join back broadcasts at any corpus size
     where K grows with the corpus. The keep flag is integer-space
     (`2 * n_boilerplate < n_shingles`), immune to float boundaries.
+
+    ``hashed=True`` (round 8): both wide exchanges (the per-doc
+    distinct and the document-frequency aggregate) and the join back
+    move 8-byte xxhash64 longs instead of multi-word gram strings —
+    counts are unchanged up to the standard ~2^-64 collision trade
+    (ngram_shingles docstring) and the oracle agrees at every SF.
     """
     d = _docs(spark, sf_dir)
-    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3)
+    sh = similarity.ngram_shingles(d, "doc_id", "text", n=3, hashed=True)
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     boiler = dfreq.where(F.col("n_docs") >= _BOILER_MIN_DOCS).select("shingle")
     per_doc = (
