@@ -108,16 +108,54 @@ def sessionize_events(
     user_col: str = "user_id",
     ts_col: str = "ts",
     value_col: str = "value",
+    timeout: str = "event",
+    watermark: str = "1 hour",
 ) -> DataFrame:
     """Custom stateful operator: gap-based session windows per user via
-    ``applyInPandasWithState`` (processing-time timeout).
+    ``applyInPandasWithState``.
 
     Demonstrates the engine's pattern for operators Structured Streaming
     lacks natively: per-key state in Arrow batches, emitted on timeout.
     Batch demo/verification uses session_window aggregation instead
     (see plans/relational streaming-adjacent queries).
+
+    ``timeout`` picks the session-close clock:
+
+    - ``"event"`` (default): EventTimeTimeout — a session closes when
+      the WATERMARK passes its end + gap. Deterministic (a replay
+      produces the same sessions) and terminates under
+      ``Trigger.AvailableNow``; requires ``watermark`` on ``ts_col``.
+    - ``"processing"``: ProcessingTimeTimeout — a session closes
+      ``gap_minutes`` of WALL CLOCK after its last update. Only for
+      genuinely live streams. **Never combine with AvailableNow**: the
+      trigger cannot drain pending processing-time timeouts, so the
+      query spins empty micro-batches at full CPU — every batch cycles
+      the whole state store through Python — until the wall-clock gap
+      elapses (measured: 90+ CPU-minutes "processing" 1 M rows that
+      took 6 s of real work; found by the round-8 scale harness).
     """
     gap_us = gap_minutes * 60 * 1_000_000
+
+    if timeout == "event":
+        events = events.withWatermark(ts_col, watermark)
+        timeout_conf = GroupStateTimeout.EventTimeTimeout
+    elif timeout == "processing":
+        timeout_conf = GroupStateTimeout.ProcessingTimeTimeout
+    else:
+        raise ValueError(f"timeout must be 'event' or 'processing': {timeout!r}")
+
+    def set_timeout(state: GroupState, end_us: int) -> None:
+        if timeout == "event":
+            # fire when the watermark passes session end + gap (ms);
+            # clamp above the current watermark — a timeout timestamp
+            # at/behind it is an error (late rows within the allowed
+            # lateness can end a session before the watermark).
+            ts_ms = end_us // 1000 + gap_minutes * 60 * 1000
+            state.setTimeoutTimestamp(
+                max(ts_ms, state.getCurrentWatermarkMs() + 1)
+            )
+        else:
+            state.setTimeoutDuration(gap_minutes * 60 * 1000)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
@@ -157,7 +195,7 @@ def sessionize_events(
                 )
         else:
             state.update((lo, hi, n_new, tot_new))
-        state.setTimeoutDuration(gap_minutes * 60 * 1000)
+        set_timeout(state, int(state.get[1]))
         return
 
     return events.groupBy(user_col).applyInPandasWithState(
@@ -165,7 +203,7 @@ def sessionize_events(
         outputStructType=SESSION_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout_conf,
     )
 
 

@@ -74,7 +74,11 @@ def test_sessionize_events_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # must actually TERMINATE: the round-8 scale harness found that
+    # the processing-time-timeout variant spins empty micro-batches
+    # forever under AvailableNow (the old awaitTermination(120) here
+    # timed out and masked it) — the event-time default drains.
+    assert q.awaitTermination(120) is True
     rows = spark.sql("SELECT * FROM sessions").collect()
     assert len(rows) == 1
     s = rows[0]

@@ -93,6 +93,7 @@ def main() -> int:
     stage = tempfile.mkdtemp(prefix="stream_scale_src_")
     os.symlink(os.path.abspath(events_path), os.path.join(stage, "events.parquet"))
     batch = spark.read.parquet(stage)
+    n_rows = batch.count()
     from pyspark.sql import functions as F
 
     has_nanos = dict(batch.dtypes).get("ts") == "bigint"
@@ -103,6 +104,10 @@ def main() -> int:
         if has_nanos:
             # integer div: float division corrupts µs above 2^53 (NOTES)
             s = s.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif dict(batch.dtypes).get("ts") == "timestamp_ntz":
+            # make_sfN tiers write naive µs timestamps; watermarks
+            # require TimestampType (session tz is pinned UTC).
+            s = s.withColumn("ts", F.col("ts").cast("timestamp"))
         return s
 
     # 1. Watermark dedup keyed on the unique event id — the worst-case
@@ -129,7 +134,7 @@ def main() -> int:
     shutil.rmtree(stage, ignore_errors=True)
     artifact = {
         "tier_dir": tier,
-        "rows": batch.count(),
+        "rows": n_rows,
         "paths": results,
     }
     with open(os.path.join(REPO, out_name), "w") as f:
