@@ -5,7 +5,10 @@ Runs, in order:
 
 1. ``pytest tests/ -q`` — the full suite;
 2. the in-window oracle check (``tools/check_correctness.py`` at
-   sf0.01, all queries — a superset of the driver's 50-query window).
+   sf0.01, all queries — a superset of the driver's 50-query window);
+3. the engine-side invariant harness (``tools/invariants_x100.py`` at
+   sf0.01 — fixed points, twin bit-identity, Python micro-oracles;
+   round 8).
 
 Prints a one-line machine-readable record (commit, dirty flag, pass and
 fail counts) to stdout and appends it to GATE.log so the snapshot commit
@@ -67,11 +70,25 @@ def main() -> int:
     else:
         rc_o = 0
 
-    status = "GREEN" if rc_t == 0 and rc_o == 0 else "RED"
+    # Round 8: the engine-side invariant harness (fixed points, twin
+    # bit-identity, Python micro-oracles) also runs at sf0.01 — ~30 s,
+    # and it checks properties the value-hash oracle can't (e.g. LSH
+    # completeness on recomputed bands, CC over-merge).
+    invariants = "skipped"
+    if "--skip-oracle" not in sys.argv:
+        rc_i, out_i = run(
+            [sys.executable, "tools/invariants_x100.py",
+             os.path.join(cfg.testdata_root, "sf0.01"), "--sample", "200"]
+        )
+        invariants = "green" if rc_i == 0 and "ALL GREEN" in out_i else "RED"
+    else:
+        rc_i = 0
+
+    status = "GREEN" if rc_t == 0 and rc_o == 0 and rc_i == 0 else "RED"
     line = (
         f"{dt.datetime.now(dt.timezone.utc).isoformat(timespec='seconds')} "
         f"gate={status} commit={commit}{'+dirty' if dirty else ''} "
-        f"pytest={passed}p/{failed}f oracle={oracle}"
+        f"pytest={passed}p/{failed}f oracle={oracle} invariants={invariants}"
         f" config={cfg_path or 'defaults'}"
     )
     print(line)
