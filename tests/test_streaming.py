@@ -327,3 +327,49 @@ def test_streaming_curation_stream_static_and_foreachbatch(spark, tmp_path):
         r["doc_id"] for r in curate_batch(static_docs, eval_grams).collect()
     )
     assert stream_ids == batch_ids == [1, 4]
+
+
+def test_sessionize_event_time_timeout_emission(spark, tmp_path):
+    """A session must ALSO emit via the event-time timeout: a later
+    event for a DIFFERENT user advances the watermark past user 1's
+    session end + gap, firing hasTimedOut (round-8 branch — the other
+    tests only exercise the gap-exceeded path)."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.streaming import sessionize_events
+
+    data = tmp_path / "events_timeout"
+    data.mkdir()
+    (data / "a.json").write_text(
+        _json.dumps(
+            {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z", "value": 2.0}
+        )
+    )
+    # batch 2: user 2 at 06:00 -> watermark 05:00 (1h delay), far past
+    # user 1's 00:00 + 30 min gap -> user 1's session times out.
+    (data / "b.json").write_text(
+        _json.dumps(
+            {"user_id": 2, "ts": "2024-01-01T06:00:00.000Z", "value": 1.0}
+        )
+    )
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(data))
+    )
+    q = (
+        sessionize_events(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_timeout")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) is True
+    rows = spark.sql("SELECT * FROM sessions_timeout").collect()
+    # user 1's session emitted by timeout; user 2's is still in flight
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert rows[0]["n_events"] == 1
+    assert rows[0]["total_value"] == 2.0
