@@ -78,12 +78,24 @@ def main() -> int:
             sys.exit("--out requires a value")
         out_name = args[i + 1]
         del args[i : i + 2]
+    rocksdb = "--rocksdb" in args
+    if rocksdb:
+        args.remove("--rocksdb")
     tier = args[0] if args else "/tmp/sparkgraft_sf1"
     events_path = os.path.join(tier, "events.parquet")
     if not os.path.exists(events_path):
         sys.exit(f"events table not found: {events_path}")
 
-    spark = get_spark(app_name="streaming_scale")
+    conf = {}
+    if rocksdb:
+        # The 100 TB state knob: RocksDB spills state off-heap/disk and
+        # its memory accounting reflects real bytes, not the HDFS-backed
+        # store's JVM-object overhead (~68 KB/row measured at ×10).
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    spark = get_spark(app_name="streaming_scale", conf=conf)
     # events.parquet at the tiers is TIMESTAMP(NANOS); same conf the
     # batch loader sets (see sources.load_table).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -135,6 +147,7 @@ def main() -> int:
     artifact = {
         "tier_dir": tier,
         "rows": n_rows,
+        "state_store": "rocksdb" if rocksdb else "hdfs-backed (default)",
         "paths": results,
     }
     with open(os.path.join(REPO, out_name), "w") as f:
