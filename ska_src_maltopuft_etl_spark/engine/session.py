@@ -57,6 +57,16 @@ _DEFAULTS: dict[str, str] = {
     # are otherwise an illegal type for the Spark reader; read them as
     # long nanos and let sources.testdata normalize to TimestampType.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Streaming state: RocksDB instead of the HDFS-backed default.
+    # Measured at the ×10 tier (STREAM_SCALE_ROCKSDB.json): 4.6× less
+    # state memory at identical wall, real-bytes accounting instead of
+    # JVM-object overhead (~68 KB/row), and disk spill instead of OOM
+    # when the watermark horizon outgrows executor memory — the
+    # binding constraint for stateful streaming at 100 TB.
+    "spark.sql.streaming.stateStore.providerClass": (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    ),
 }
 
 
