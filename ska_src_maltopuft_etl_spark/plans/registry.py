@@ -101,7 +101,47 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # the tail — verified at edit time: its covers (W4, W6, A2) are held by
 # 4, 8 and 13 other in-window rows respectively, and kmeans' covers
 # (J1, A2, W1) were already multiply held.
+#
+# Round 9: BULK rotation per the round-8 judge directive (VERDICT.md
+# "Next round" #2): 27 never-driver-certified queries move in-window
+# (the judge's named priorities — salted join, triangle count, BM25,
+# RRF, cube/grouping-sets/hierarchy rollups — plus the curation /
+# time-series / stats tail and `q09_product_profit` +
+# `incremental_agg_events`, which for the first time give P3 and K3 an
+# in-window holder, making EVERY §2 covers ID window-held). In
+# exchange 27 multiply-certified rows rotate to the tail. Verified at
+# edit time by iterative covers-closure (tools run in the round-9
+# session): zero §2 IDs lose their last in-window holder, and the new
+# window carries 27 first-time-certifiable names.
 _TAIL = [
+    # Round-9 rotation: certified rows whose covers stay multiply held.
+    "dedup_fuzzy_levenshtein",
+    "pivot_event_counts",
+    "cluster_documents_kmeans",
+    "stratified_sample_per_lang",
+    "mmr_diverse_rerank",
+    "knn_cosine_ivf",
+    "dedup_ngram_jaccard",
+    "pagerank_supply_graph",
+    "dedup_connected_components",
+    "text_quality_scores",
+    "split_train_val_test",
+    "surrogate_key_scalable",
+    "token_budget_pack",
+    "dedup_simhash",
+    "heavy_hitter_customers",
+    "weighted_sample_per_lang",
+    "regex_extract_props",
+    "corpus_clean_pipeline",
+    "corpus_dedup_clusters_lsh",
+    "dedup_minhash_lsh",
+    "dedup_normalized_text",
+    "join_anti_inactive_customers",
+    "asof_join_purchase_context",
+    "interval_join_sessions",
+    "join_full_outer",
+    "text_language_id",
+    "hms_dms_to_degrees",
     # Round-5 window swap (see above).
     "q01_pricing_summary",
     "knn_cosine_bruteforce",
@@ -110,29 +150,10 @@ _TAIL = [
     # Round-3 additions (window frozen at the round-2 certified 50; all
     # new queries land in the tail and are certified by the local
     # three-SF oracle sweep instead).
-    "bm25_keyword_search",
-    "decontaminate_eval_overlap",
-    "pii_mask_customers",
-    "text_repetition_filter",
-    "boilerplate_ngram_prune",
-    "embedding_quantize_int8",
-    "domain_mixture_weights",
-    "rag_chunk_documents",
-    "interval_join_bucketed_sessions",
-    "asof_join_forward_next_action",
-    "salted_join_revenue",
-    "simhash_near_pairs",
     "timeseries_gapfill_locf",
-    "timeseries_gapfill_linear",
-    "frequent_itemset_pairs",
     "histogram_order_totals",
     "text_rarity_score",
-    "hybrid_search_rrf",
-    "rerank_cross_encoder",
-    "hierarchy_rollup_paths",
-    "event_transition_matrix",
     "embedding_outliers_per_label",
-    "histogram_equi_depth",
     "decile_revenue_share",
     "text_ngram_novelty",
     "supply_graph_degree_profile",
@@ -152,15 +173,10 @@ _TAIL = [
     "revenue_share_within_region",
     "null_profile_report",
     "conversion_wilson_ci",
-    "cusum_changepoint",
     "exp_smoothing_daily",
-    "rfm_segmentation",
-    "triangle_count_copurchase",
     "source_vocab_overlap",
     "ols_trend_daily",
     "map_type_event_profile",
-    "grouping_sets_revenue",
-    "window_distribution_funcs",
     "set_intersect_except",
     "variant_props_stats",
     "join_validated_1m",
@@ -180,7 +196,6 @@ _TAIL = [
     "weighted_sample_docs",
     "q07_nation_volume",
     "q08_market_share",
-    "q09_product_profit",
     "q11_important_stock",
     "q13_customer_distribution",
     "q15_top_supplier",
@@ -191,7 +206,6 @@ _TAIL = [
     "q21_waiting_suppliers",
     "q22_dormant_customers",
     "q02_cheapest_supplier",
-    "cube_event_counts",
     "time_range_moving_stats",
     "join_semi_shipped_parts",
     "explode_word_counts",
@@ -207,7 +221,6 @@ _TAIL = [
     "surrogate_key_dense",
     "rollup_revenue",
     "percentile_stats",
-    "incremental_agg_events",
 ]
 assert len(_TAIL) == len(set(_TAIL)), "duplicate entries in _TAIL"
 assert len(QUERIES) - len({k for k in _TAIL if k in QUERIES}) <= 50, (
