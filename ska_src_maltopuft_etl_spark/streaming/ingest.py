@@ -157,45 +157,64 @@ def sessionize_events(
         else:
             state.setTimeoutDuration(gap_minutes * 60 * 1000)
 
+    def emit(key, spans: list[tuple[int, int, int, float]]) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(spans),
+                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in spans],
+                "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in spans],
+                "n_events": [n for _, _, n, _ in spans],
+                "total_value": [t for _, _, _, t in spans],
+            }
+        )
+
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
-            start_us, end_us, n, total = state.get
+            span = tuple(state.get)
             state.remove()
-            yield pd.DataFrame(
-                {
-                    "user_id": [key[0]],
-                    "session_start": [pd.Timestamp(start_us, unit="us")],
-                    "session_end": [pd.Timestamp(end_us, unit="us")],
-                    "n_events": [n],
-                    "total_value": [total],
-                }
-            )
+            yield emit(key, [span])
             return
-        rows = pd.concat(list(pdfs))
-        ts_us = rows[ts_col].astype("int64") // 1000
-        lo, hi = int(ts_us.min()), int(ts_us.max())
-        n_new, tot_new = len(rows), float(rows[value_col].sum())
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()
+        vals = rows[value_col].to_numpy()
+        # Sessionize WITHIN the batch: split the key's (sorted) rows at
+        # every gap > gap_us. Merging the whole batch into one span —
+        # the round-8 shape — silently fused separate sessions whenever
+        # one micro-batch carried a key's rows across a gap (with
+        # availableNow over one file, i.e. one batch, EVERY gap was
+        # fused; found by the round-9 stream-vs-batch certificate).
+        cut = [0]
+        for i in range(1, len(ts_us)):
+            if ts_us[i] - ts_us[i - 1] > gap_us:
+                cut.append(i)
+        cut.append(len(ts_us))
+        spans = [
+            (
+                int(ts_us[a]),
+                int(ts_us[b - 1]),
+                b - a,
+                float(vals[a:b].sum()),
+            )
+            for a, b in zip(cut[:-1], cut[1:])
+        ]
         if state.exists:
-            start_us, end_us, n, total = state.get
-            if lo - end_us > gap_us:
-                # gap exceeded: emit the closed session, start fresh
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "session_start": [pd.Timestamp(start_us, unit="us")],
-                        "session_end": [pd.Timestamp(end_us, unit="us")],
-                        "n_events": [n],
-                        "total_value": [total],
-                    }
-                )
-                state.update((lo, hi, n_new, tot_new))
+            prev = tuple(state.get)
+            first = spans[0]
+            if first[0] - prev[1] > gap_us:
+                spans.insert(0, prev)
             else:
-                state.update(
-                    (min(start_us, lo), max(end_us, hi), n + n_new, total + tot_new)
+                # overlap/adjacent: fold the carried state into span 0
+                spans[0] = (
+                    min(prev[0], first[0]),
+                    max(prev[1], first[1]),
+                    prev[2] + first[2],
+                    prev[3] + first[3],
                 )
-        else:
-            state.update((lo, hi, n_new, tot_new))
-        set_timeout(state, int(state.get[1]))
+        closed, last = spans[:-1], spans[-1]
+        state.update(last)
+        set_timeout(state, last[1])
+        if closed:
+            yield emit(key, closed)
         return
 
     return events.groupBy(user_col).applyInPandasWithState(

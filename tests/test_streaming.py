@@ -373,3 +373,60 @@ def test_sessionize_event_time_timeout_emission(spark, tmp_path):
     assert rows[0]["user_id"] == 1
     assert rows[0]["n_events"] == 1
     assert rows[0]["total_value"] == 2.0
+
+
+def test_sessionize_splits_gaps_within_one_batch(spark, tmp_path):
+    """Round-9 regression: a single micro-batch carrying one key's rows
+    across a gap must yield SEPARATE sessions. The round-8 update fn
+    folded the whole batch into one [min,max] span, so an availableNow
+    run over one file (= one batch) fused every session of a key — and
+    emitted nothing at all when the fused span's timeout landed beyond
+    the final watermark (stream-vs-batch certificate finding)."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.streaming import sessionize_events
+
+    data = tmp_path / "events_inbatch"
+    data.mkdir()
+    # ONE file = ONE batch: three sessions for user 1 (00:00-00:10,
+    # 02:00, 10:00) plus a user 2 row that pins the final watermark at
+    # 09:30 (10:30 - 1h), timing out session 2 but not session 3.
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:10:00.000Z", "value": 3.0},
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00.000Z", "value": 2.0},
+        {"user_id": 1, "ts": "2024-01-01T02:00:00.000Z", "value": 4.0},
+        {"user_id": 1, "ts": "2024-01-01T10:00:00.000Z", "value": 5.0},
+        {"user_id": 2, "ts": "2024-01-01T10:30:00.000Z", "value": 0.5},
+    ]
+    (data / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    schema = "user_id long, ts timestamp, value double"
+    stream = spark.readStream.schema(schema).json(str(data))
+    q = (
+        sessionize_events(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_inbatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) is True
+    got = sorted(
+        (
+            r["user_id"],
+            r["session_start"].isoformat(),
+            r["session_end"].isoformat(),
+            r["n_events"],
+            r["total_value"],
+        )
+        for r in spark.sql("SELECT * FROM sessions_inbatch").collect()
+    )
+    assert got == [
+        # session 1 closed in-batch by the 00:10 -> 02:00 gap (rows were
+        # written out of order: the update fn must sort by ts first);
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 3, 6.0),
+        # session 2 closed in-batch by the 02:00 -> 10:00 gap;
+        (1, "2024-01-01T02:00:00", "2024-01-01T02:00:00", 1, 4.0),
+        # session 3 (10:00) and user 2's (10:30) stay open: watermark
+        # ends at 09:30, before either session end + 30 min.
+    ]
