@@ -21,11 +21,13 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     IntegerType,
     LongType,
@@ -92,14 +94,45 @@ SESSION_SCHEMA = StructType(
     ]
 )
 
+# State = ALL unsealed spans for the key (parallel arrays), not just the
+# most recent one. Holding every open span is what makes the cross-batch
+# merge exact: late-but-valid rows (and whole late sessions) arriving in a
+# later micro-batch are merged positionally into the span sequence and the
+# gap split is re-applied, instead of being blindly folded into one span.
 _STATE_SCHEMA = StructType(
     [
-        StructField("start_us", LongType()),
-        StructField("end_us", LongType()),
-        StructField("n", IntegerType()),
-        StructField("total", DoubleType()),
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("ns", ArrayType(IntegerType())),
+        StructField("totals", ArrayType(DoubleType())),
     ]
 )
+
+
+def _merge_spans(
+    spans: list[tuple[int, int, int, float]], gap_us: int
+) -> list[tuple[int, int, int, float]]:
+    """Fold a start-sorted span list: two spans whose time distance is
+    within ``gap_us`` (or that overlap) belong to one session.
+
+    Span-level merging is exactly equivalent to row-level sessionization
+    of the union of rows: within a span every consecutive-row gap is
+    already <= gap_us, so interleaving another such span can only shrink
+    gaps, never create one.
+    """
+    out = [spans[0]]
+    for s in spans[1:]:
+        p = out[-1]
+        if s[0] - p[1] <= gap_us:
+            out[-1] = (
+                min(p[0], s[0]),
+                max(p[1], s[1]),
+                p[2] + s[2],
+                p[3] + s[3],
+            )
+        else:
+            out.append(s)
+    return out
 
 
 def sessionize_events(
@@ -121,10 +154,14 @@ def sessionize_events(
 
     ``timeout`` picks the session-close clock:
 
-    - ``"event"`` (default): EventTimeTimeout — a session closes when
-      the WATERMARK passes its end + gap. Deterministic (a replay
-      produces the same sessions) and terminates under
-      ``Trigger.AvailableNow``; requires ``watermark`` on ``ts_col``.
+    - ``"event"`` (default): EventTimeTimeout — a session is emitted
+      only once the WATERMARK passes its end + gap (matching the
+      built-in ``session_window`` semantics): no row the watermark
+      still admits can change an emitted session, so the appended
+      output content is deterministic — a replay, any batch split, and
+      any within-watermark arrival order produce the same sessions.
+      Terminates under ``Trigger.AvailableNow``; requires ``watermark``
+      on ``ts_col``.
     - ``"processing"``: ProcessingTimeTimeout — a session closes
       ``gap_minutes`` of WALL CLOCK after its last update. Only for
       genuinely live streams. **Never combine with AvailableNow**: the
@@ -157,6 +194,41 @@ def sessionize_events(
         else:
             state.setTimeoutDuration(gap_minutes * 60 * 1000)
 
+    def load_spans(state: GroupState) -> list[tuple[int, int, int, float]]:
+        starts, ends, ns, totals = state.get
+        return [
+            (int(s), int(e), int(n), float(t))
+            for s, e, n, t in zip(starts, ends, ns, totals)
+        ]
+
+    def store_spans(
+        state: GroupState, spans: list[tuple[int, int, int, float]]
+    ) -> None:
+        state.update(
+            (
+                [s for s, _, _, _ in spans],
+                [e for _, e, _, _ in spans],
+                [n for _, _, n, _ in spans],
+                [t for _, _, _, t in spans],
+            )
+        )
+        set_timeout(state, min(e for _, e, _, _ in spans))
+
+    def split_sealed(
+        state: GroupState, spans: list[tuple[int, int, int, float]]
+    ) -> tuple[list, list]:
+        """Partition spans into (sealed, open). A span is sealed once the
+        watermark passes end + gap: no admissible row can extend, precede,
+        or bridge it (any non-late row has ts >= watermark > end + gap).
+        Processing-time mode has no watermark; there, every span but the
+        most recent is 'sealed' the moment an in-batch gap closes it."""
+        if timeout == "event":
+            wm_us = state.getCurrentWatermarkMs() * 1000
+            sealed = [s for s in spans if s[1] + gap_us < wm_us]
+            kept = [s for s in spans if s[1] + gap_us >= wm_us]
+            return sealed, kept
+        return spans[:-1], spans[-1:]
+
     def emit(key, spans: list[tuple[int, int, int, float]]) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -170,9 +242,16 @@ def sessionize_events(
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         if state.hasTimedOut:
-            span = tuple(state.get)
-            state.remove()
-            yield emit(key, [span])
+            spans = load_spans(state)
+            sealed, kept = split_sealed(state, spans)
+            if timeout != "event":
+                sealed, kept = spans, []
+            if kept:
+                store_spans(state, kept)
+            else:
+                state.remove()
+            if sealed:
+                yield emit(key, sealed)
             return
         rows = pd.concat(list(pdfs)).sort_values(ts_col)
         ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()
@@ -183,38 +262,31 @@ def sessionize_events(
         # one micro-batch carried a key's rows across a gap (with
         # availableNow over one file, i.e. one batch, EVERY gap was
         # fused; found by the round-9 stream-vs-batch certificate).
-        cut = [0]
-        for i in range(1, len(ts_us)):
-            if ts_us[i] - ts_us[i - 1] > gap_us:
-                cut.append(i)
-        cut.append(len(ts_us))
+        cuts = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
+        bounds = np.concatenate(([0], cuts, [len(ts_us)]))
         spans = [
             (
                 int(ts_us[a]),
                 int(ts_us[b - 1]),
-                b - a,
+                int(b - a),
                 float(vals[a:b].sum()),
             )
-            for a, b in zip(cut[:-1], cut[1:])
+            for a, b in zip(bounds[:-1], bounds[1:])
         ]
         if state.exists:
-            prev = tuple(state.get)
-            first = spans[0]
-            if first[0] - prev[1] > gap_us:
-                spans.insert(0, prev)
-            else:
-                # overlap/adjacent: fold the carried state into span 0
-                spans[0] = (
-                    min(prev[0], first[0]),
-                    max(prev[1], first[1]),
-                    prev[2] + first[2],
-                    prev[3] + first[3],
-                )
-        closed, last = spans[:-1], spans[-1]
-        state.update(last)
-        set_timeout(state, last[1])
-        if closed:
-            yield emit(key, closed)
+            # Merge carried state POSITIONALLY: a late session arriving a
+            # batch after a newer one (legal within the watermark) sorts
+            # before the stored spans; the round-9 shape folded state into
+            # the batch's earliest span whenever they weren't gap-separated
+            # AFTER it, fusing across genuine gaps (round-10 fix).
+            spans = _merge_spans(sorted(spans + load_spans(state)), gap_us)
+        sealed, kept = split_sealed(state, spans)
+        if kept:
+            store_spans(state, kept)
+        else:  # defensive: new data always holds at least one open span
+            state.remove()
+        if sealed:
+            yield emit(key, sealed)
         return
 
     return events.groupBy(user_col).applyInPandasWithState(
