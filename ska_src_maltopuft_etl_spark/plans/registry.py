@@ -113,7 +113,46 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # edit time by iterative covers-closure (tools run in the round-9
 # session): zero §2 IDs lose their last in-window holder, and the new
 # window carries 27 first-time-certifiable names.
+#
+# Round 10: second bulk rotation per the round-9 judge directive
+# (VERDICT.md "Next round" #5): 25 more never-driver-certified queries
+# move in-window — the judge's named priorities (interval_union_coverage,
+# timeseries_gapfill_locf, exp_smoothing_daily, ols_trend_daily,
+# quantified_all_subquery, asof_join_nearest_action,
+# activity_bitmap_segments), all 16 remaining TPC-H stragglers, and the
+# knn_cosine_lsh / dedup_embedding_cosine similarity pair. In exchange
+# 25 driver-certified rows rotate to the tail (the six 8-9x-certified
+# stalwarts first, then r9 first-timers whose covers stay multiply
+# held). Verified at edit time by iterative covers-closure: zero §2 IDs
+# lose their last in-window holder. Cumulative distinct
+# driver-certified after this window certifies: ~125/151.
 _TAIL = [
+    # Round-10 rotation: certified rows whose covers stay multiply held.
+    "enum_mapping_priority",
+    "duration_mining_per_row",
+    "datetime_round_add",
+    "mjd_of_events",
+    "pos_point_literal",
+    "null_guard_stats",
+    "asof_join_forward_next_action",
+    "cube_event_counts",
+    "timeseries_gapfill_linear",
+    "salted_join_revenue",
+    "window_distribution_funcs",
+    "grouping_sets_revenue",
+    "bm25_keyword_search",
+    "decontaminate_eval_overlap",
+    "pii_mask_customers",
+    "text_repetition_filter",
+    "embedding_quantize_int8",
+    "domain_mixture_weights",
+    "simhash_near_pairs",
+    "frequent_itemset_pairs",
+    "hybrid_search_rrf",
+    "rerank_cross_encoder",
+    "hierarchy_rollup_paths",
+    "event_transition_matrix",
+    "histogram_equi_depth",
     # Round-9 rotation: certified rows whose covers stay multiply held.
     "dedup_fuzzy_levenshtein",
     "pivot_event_counts",
@@ -150,7 +189,6 @@ _TAIL = [
     # Round-3 additions (window frozen at the round-2 certified 50; all
     # new queries land in the tail and are certified by the local
     # three-SF oracle sweep instead).
-    "timeseries_gapfill_locf",
     "histogram_order_totals",
     "text_rarity_score",
     "embedding_outliers_per_label",
@@ -158,24 +196,18 @@ _TAIL = [
     "text_ngram_novelty",
     "supply_graph_degree_profile",
     "dup_rate_by_source",
-    "interval_union_coverage",
-    "asof_join_nearest_action",
-    "activity_bitmap_segments",
     "association_rules_lift",
     "time_weighted_average_value",
     "gini_revenue_concentration",
     "weekly_growth_rates",
     "join_key_skew_report",
-    "quantified_all_subquery",
     "cumulative_unique_users",
     "robust_stats_mad",
     "dataset_drift_report",
     "revenue_share_within_region",
     "null_profile_report",
     "conversion_wilson_ci",
-    "exp_smoothing_daily",
     "source_vocab_overlap",
-    "ols_trend_daily",
     "map_type_event_profile",
     "set_intersect_except",
     "variant_props_stats",
@@ -183,10 +215,7 @@ _TAIL = [
     "join_left_m1",
     "embedding_stats",
     "topk_orders_per_nation",
-    "q14_promo_share",
     "text_fingerprint",
-    "dedup_embedding_cosine",
-    "knn_cosine_lsh",
     "cohort_weekly_retention",
     "q05_local_supplier_volume",
     "bloom_pruned_semi_join",
@@ -194,26 +223,11 @@ _TAIL = [
     "approx_distinct_accuracy",
     "approx_quantile_accuracy",
     "weighted_sample_docs",
-    "q07_nation_volume",
-    "q08_market_share",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q17_small_quantity_revenue",
-    "q18_large_orders",
-    "q20_part_promotion",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "q02_cheapest_supplier",
     "time_range_moving_stats",
     "join_semi_shipped_parts",
     "explode_word_counts",
-    "q04_order_priority",
     "q06_forecast_revenue",
     "q10_returned_items",
-    "q12_priority_shipping",
-    "q19_disjunctive_filter",
     "window_running_and_moving",
     "duration_mining_global",
     "sql_frontend_q01",

@@ -1,0 +1,357 @@
+#!/usr/bin/env python
+"""Stream-vs-batch equivalence CERTIFICATE (round-10 VERDICT item #1).
+
+Unit tests certify the streaming operators on toy fixtures; this harness
+certifies them at tier scale the same way the driver certifies batch
+queries — an order-insensitive value hash that must be IDENTICAL between
+the streaming computation and an independent batch computation of the
+same semantics. Building (but not committing) this harness in round 9 is
+what exposed the fused-sessions bug; round 10 commits it.
+
+What it stages (deterministically, no RNG):
+
+- the tier's ``events`` table split into ``--blocks`` time-block files,
+  streamed with ``maxFilesPerTrigger=1`` → a genuinely MULTI-BATCH run
+  with carried state at every block boundary;
+- ~20% of rows (``event_id % 5 == 0``) displaced one block LATER →
+  cross-batch OUT-OF-ORDER arrival, including whole late sessions that
+  chronologically precede state carried from a newer batch (the exact
+  fold-class bug of rounds 8/9); the watermark delay (4 days) exceeds
+  the displacement (one 3-day block), so nothing is ever dropped late
+  and the batch twin needs no late-row model;
+- ~14% of rows (``event_id % 7 == 3``) duplicated into the next block →
+  real cross-batch duplicates for the watermark-dedup path.
+
+Certificates emitted (check_correctness-style OK/FAIL lines):
+
+1. ``sessionize_stream_vs_batch`` — ``sessionize_events`` (event-time
+   timeout) over the staged stream == batch gap-sessionization of the
+   staged rows, filtered to watermark-sealed sessions
+   (``end + gap < final watermark``, the only sessions append mode may
+   emit).
+2. ``sessionize_restart_recovery`` — same pipeline on the RocksDB state
+   store, killed mid-run (after ~half the batches) and restarted from
+   the checkpoint into a parquet sink: final hash must equal #1.
+3. ``dedup_stream_vs_batch`` — ``stream_with_watermark_dedup`` on
+   ``event_id`` == batch ``dropDuplicates``.
+
+Usage:
+    python tools/stream_equiv.py [tier_dir] [--blocks 10]
+                                 [--out STREAM_EQUIV.json]
+
+Exit 0 iff every certificate is OK; writes the JSON artifact and appends
+the OK lines to CORRECTNESS_X10.txt when run at a ×10 tier.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+from tools.check_correctness import frame_hash  # noqa: E402
+
+from ska_src_maltopuft_etl_spark.engine import get_spark  # noqa: E402
+
+GAP_MINUTES = 30
+WATERMARK = "96 hours"  # 4 days > one 3-day displacement block
+WATERMARK_MS = 96 * 3600 * 1000
+
+
+def stage_inputs(tier_dir: str, stage: str, blocks: int) -> dict:
+    """Split the tier's events into time-block files with deterministic
+    displacement (out-of-order) and duplication, oldest-block-first
+    mtimes so the file stream consumes them as ordered micro-batches."""
+    con = duckdb.connect()
+    ev = f"read_parquet('{tier_dir}/events.parquet')"
+    lo, hi, n = con.execute(
+        f"SELECT epoch_us(min(ts)), epoch_us(max(ts)), count(*) FROM {ev}"
+    ).fetchone()
+    block_len = (hi - lo) // blocks + 1
+    con.execute(
+        f"""
+        CREATE TEMP TABLE staged AS
+        WITH base AS (
+            SELECT * REPLACE (ts::TIMESTAMP AS ts),
+                   least((epoch_us(ts) - {lo}) // {block_len},
+                         {blocks - 1}) AS block
+            FROM {ev}
+        )
+        SELECT event_id, ts, user_id, event_type, value, props,
+               CASE WHEN event_id % 5 = 0 AND block < {blocks - 1}
+                    THEN block + 1 ELSE block END AS f
+        FROM base
+        UNION ALL
+        SELECT event_id, ts, user_id, event_type, value, props,
+               least(block + 1, {blocks - 1}) AS f
+        FROM base WHERE event_id % 7 = 3
+        """
+    )
+    n_staged = con.execute("SELECT count(*) FROM staged").fetchone()[0]
+    now = time.time()
+    for i in range(blocks):
+        path = os.path.join(stage, f"block_{i:03d}.parquet")
+        con.execute(
+            f"COPY (SELECT event_id, ts, user_id, event_type, value, props "
+            f"FROM staged WHERE f = {i}) TO '{path}' (FORMAT PARQUET)"
+        )
+        # oldest-first mtimes pin the micro-batch order
+        os.utime(path, (now - 3600 + i * 60, now - 3600 + i * 60))
+    return {"rows_base": n, "rows_staged": n_staged, "ts_max_us": hi}
+
+
+def load_stream(spark, stage: str, schema):
+    from pyspark.sql import functions as F
+
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    if dict(zip(schema.fieldNames(), [f.dataType.simpleString() for f in schema.fields])).get(
+        "ts"
+    ) == "timestamp_ntz":
+        s = s.withColumn("ts", F.col("ts").cast("timestamp"))
+    return s
+
+
+def hash_df(df) -> tuple[int, str]:
+    rows = [tuple(r) for r in df.collect()]
+    return len(rows), frame_hash(df.columns, rows)
+
+
+def batch_sessions(spark, stage: str, ts_max_us: int):
+    """Independent batch twin of sessionize_events: window-lag gap split,
+    filtered to sessions the watermark has sealed (the only ones
+    append-mode streaming may emit). Spark truncates event-time stats to
+    ms, so the final watermark is floor(max_us/1000) - delay ms."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    gap_us = GAP_MINUTES * 60 * 1_000_000
+    final_wm_us = (ts_max_us // 1000 - WATERMARK_MS) * 1000
+    ev = spark.read.parquet(stage).withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ses = (
+        ev.withColumn("ts_us", F.unix_micros("ts"))
+        .withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_us").isNull()
+                | (F.col("ts_us") - F.col("prev_us") > F.lit(gap_us)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.max("ts_us").alias("end_us"),
+        )
+        .where(F.col("end_us") + F.lit(gap_us) < F.lit(final_wm_us))
+        .select("user_id", "session_start", "session_end", "n_events", "total_value")
+    )
+    return ses
+
+
+def run_to_memory(spark, df, name: str) -> None:
+    ckpt = tempfile.mkdtemp(prefix=f"equiv_{name}_")
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(1800) is True, f"{name} did not terminate"
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def run_with_kill_restart(spark, make_df, sink_dir: str, ckpt: str, kill_after: int) -> dict:
+    """Start the query, stop it once >= kill_after batches committed,
+    restart from the checkpoint, drain. The parquet sink's metadata log
+    makes the restart exactly-once, which the hash check verifies."""
+
+    def start():
+        return (
+            make_df()
+            .writeStream.format("parquet")
+            .option("path", sink_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    killed_at = None
+    while q.isActive:
+        prog = q.recentProgress
+        done = max((p["batchId"] for p in prog), default=-1) if prog else -1
+        if done >= kill_after:
+            q.stop()
+            killed_at = done
+            break
+        time.sleep(0.5)
+    q.awaitTermination(600)
+    if killed_at is None:  # drained before we could kill: still a valid run
+        return {"killed_at_batch": None, "restarted": False}
+    q2 = start()
+    assert q2.awaitTermination(1800) is True, "restarted query did not terminate"
+    return {"killed_at_batch": killed_at, "restarted": True}
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    out_name = "STREAM_EQUIV.json"
+    if "--out" in args:
+        i = args.index("--out")
+        out_name = args[i + 1]
+        del args[i : i + 2]
+    blocks = 10
+    if "--blocks" in args:
+        i = args.index("--blocks")
+        blocks = int(args[i + 1])
+        del args[i : i + 2]
+    tier = args[0] if args else "/tmp/sparkgraft_sf1"
+    if not os.path.exists(os.path.join(tier, "events.parquet")):
+        sys.exit(f"events table not found in {tier} (run tools/make_sfN.py first)")
+
+    from pyspark.sql import functions as F
+
+    from ska_src_maltopuft_etl_spark.streaming import (
+        sessionize_events,
+        stream_with_watermark_dedup,
+    )
+
+    spark = get_spark(app_name="stream_equiv", conf={"spark.ui.enabled": "false"})
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    stage = tempfile.mkdtemp(prefix="stream_equiv_src_")
+    work = []
+    results: list[dict] = []
+    ok = True
+
+    def record(name: str, match: bool, rows: int, h: str, extra: str = "") -> None:
+        nonlocal ok
+        tag = "OK  " if match else "FAIL"
+        print(f"{tag}  {name}: rows={rows} hash={h} {extra}".rstrip(), flush=True)
+        results.append({"name": name, "ok": match, "rows": rows, "hash": h})
+        ok = ok and match
+
+    try:
+        info = stage_inputs(tier, stage, blocks)
+        print(
+            f"staged {info['rows_staged']} rows ({info['rows_base']} base + dups) "
+            f"into {blocks} blocks at {stage}",
+            flush=True,
+        )
+        schema = spark.read.parquet(stage).schema
+
+        def sessions_stream():
+            return sessionize_events(
+                load_stream(spark, stage, schema),
+                gap_minutes=GAP_MINUTES,
+                watermark=WATERMARK,
+            ).withColumn("total_value", F.round("total_value", 4))
+
+        # --- certificate 1: sessionize, streaming == batch twin -------
+        t0 = time.time()
+        run_to_memory(spark, sessions_stream(), "equiv_sessions")
+        n_s, h_s = hash_df(spark.sql("SELECT * FROM equiv_sessions"))
+        n_b, h_b = hash_df(batch_sessions(spark, stage, info["ts_max_us"]))
+        record(
+            "sessionize_stream_vs_batch",
+            (n_s, h_s) == (n_b, h_b),
+            n_s,
+            h_s,
+            f"(batch twin rows={n_b} hash={h_b}; {time.time() - t0:.0f}s)",
+        )
+
+        # --- certificate 2: kill + restart from RocksDB checkpoint ----
+        t0 = time.time()
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        sink_dir = tempfile.mkdtemp(prefix="equiv_sink_")
+        ckpt = tempfile.mkdtemp(prefix="equiv_ckpt_")
+        work += [sink_dir, ckpt]
+        meta = run_with_kill_restart(
+            spark, sessions_stream, sink_dir, ckpt, kill_after=blocks // 2
+        )
+        n_r, h_r = hash_df(spark.read.schema(
+            spark.sql("SELECT * FROM equiv_sessions").schema
+        ).parquet(sink_dir))
+        record(
+            "sessionize_restart_recovery",
+            (n_r, h_r) == (n_s, h_s) and meta["restarted"],
+            n_r,
+            h_r,
+            f"(killed at batch {meta['killed_at_batch']}, restarted="
+            f"{meta['restarted']}, rocksdb state; {time.time() - t0:.0f}s)",
+        )
+        results[-1].update(meta)
+
+        # --- certificate 3: watermark dedup, streaming == batch -------
+        t0 = time.time()
+        deduped = stream_with_watermark_dedup(
+            load_stream(spark, stage, schema), "ts", ["event_id"], watermark=WATERMARK
+        )
+        run_to_memory(spark, deduped, "equiv_dedup")
+        n_d, h_d = hash_df(spark.sql("SELECT * FROM equiv_dedup"))
+        twin = (
+            spark.read.parquet(stage)
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .dropDuplicates(["event_id"])
+        )
+        n_t, h_t = hash_df(twin)
+        record(
+            "dedup_stream_vs_batch",
+            (n_d, h_d) == (n_t, h_t),
+            n_d,
+            h_d,
+            f"(batch twin rows={n_t} hash={h_t}; {time.time() - t0:.0f}s)",
+        )
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
+        for d in work:
+            shutil.rmtree(d, ignore_errors=True)
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=REPO,
+    ).stdout.strip()
+    artifact = {
+        "tier_dir": tier,
+        "blocks": blocks,
+        "rows_staged": info["rows_staged"],
+        "watermark": WATERMARK,
+        "gap_minutes": GAP_MINUTES,
+        "commit": commit,
+        "all_ok": ok,
+        "certificates": results,
+    }
+    with open(os.path.join(REPO, out_name), "w") as f:
+        json.dump(artifact, f, indent=1)
+    print(f"wrote {out_name} (all_ok={ok})", flush=True)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
