@@ -27,7 +27,7 @@ statistical character instead of degenerating:
 
 Pure DuckDB (fast, single pass per table, no Spark session needed).
 
-Usage: python tools/make_sfN.py [out_dir] [--rep N] [--base sf_dir]
+Usage: python tools/make_sfN.py [out_dir] [--rep N] [--base sf_dir] [--skew zipf]
 """
 
 from __future__ import annotations
@@ -43,6 +43,9 @@ def main() -> int:
     out = args[0] if args and not args[0].startswith("-") else "/tmp/sparkgraft_sf1"
     rep = int(args[args.index("--rep") + 1]) if "--rep" in args else 10
     base = args[args.index("--base") + 1] if "--base" in args else "/root/testdata/sf0.1"
+    skew = args[args.index("--skew") + 1] if "--skew" in args else None
+    if skew not in (None, "zipf"):
+        sys.exit(f"unknown --skew mode: {skew!r} (supported: zipf)")
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
@@ -156,8 +159,73 @@ def main() -> int:
         """,
         "embeddings",
     )
-    print(f"wrote {out} (rep={rep}, base={base})")
+    if skew == "zipf":
+        apply_zipf(con, out)
+    print(f"wrote {out} (rep={rep}, base={base}, skew={skew})")
     return 0
+
+
+def apply_zipf(con, out: str) -> None:
+    """Rewrite the fact-side join keys to a Zipf-like (log-uniform rank)
+    distribution (round-10 VERDICT item #8): real 100 TB key frequencies
+    are power-law, and the uniform-replication tiers can't expose the
+    skew cliff in the join family.
+
+    rank = clamp(floor(N^u), 1, N) with u a deterministic per-row hash
+    uniform gives P(rank <= k) ≈ ln(k)/ln(N) — the hottest key draws
+    ~ln(2)/ln(N) of ALL rows (≈5-7% at these tiers, i.e. a 1000×+
+    overload vs the mean). Ranks map to the rank-th EXISTING key, so
+    referential integrity holds and the registered oracle SQL still
+    produces identical results on the skewed tier (both engines see the
+    same data). Rewritten: lineitem.l_orderkey (orders-join family) and
+    events.user_id (as-of / interval / session family). Dims untouched.
+    """
+    u64 = "1.8446744073709552e19"
+    con.execute(
+        f"""
+        COPY (
+          WITH ok AS (
+            SELECT o_orderkey AS key,
+                   row_number() OVER (ORDER BY o_orderkey) AS rn
+            FROM read_parquet('{out}/orders.parquet')),
+          n AS (SELECT count(*) AS n FROM ok),
+          li AS (
+            SELECT *, least(greatest(CAST(floor(pow(
+                     (SELECT n FROM n),
+                     hash(l_orderkey * 7919 + l_linenumber)::DOUBLE / {u64}
+                   )) AS BIGINT), 1), (SELECT n FROM n)) AS __rnk
+            FROM read_parquet('{out}/lineitem.parquet'))
+          SELECT li.* EXCLUDE (__rnk) REPLACE (ok.key AS l_orderkey)
+          FROM li JOIN ok ON ok.rn = li.__rnk
+        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          WITH uk AS (
+            SELECT user_id AS key,
+                   row_number() OVER (ORDER BY user_id) AS rn
+            FROM (SELECT DISTINCT user_id
+                  FROM read_parquet('{out}/events.parquet'))),
+          n AS (SELECT count(*) AS n FROM uk),
+          ev AS (
+            SELECT *, least(greatest(CAST(floor(pow(
+                     (SELECT n FROM n),
+                     hash(event_id)::DOUBLE / {u64}
+                   )) AS BIGINT), 1), (SELECT n FROM n)) AS __rnk
+            FROM read_parquet('{out}/events.parquet'))
+          SELECT ev.* EXCLUDE (__rnk) REPLACE (uk.key AS user_id)
+          FROM ev JOIN uk ON uk.rn = ev.__rnk
+        ) TO '{out}/events.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
+        """
+    )
+    for t, k in (("lineitem", "l_orderkey"), ("events", "user_id")):
+        mx, mean = con.execute(
+            f"SELECT max(c), avg(c) FROM (SELECT count(*) AS c "
+            f"FROM read_parquet('{out}/{t}.parquet') GROUP BY {k})"
+        ).fetchone()
+        print(f"zipf {t}.{k}: hottest key {mx} rows vs mean {mean:.1f}")
 
 
 if __name__ == "__main__":
