@@ -4,6 +4,7 @@ from ska_src_maltopuft_etl_spark.operators.joins import (
     asof_join_backward,
     asof_join_forward,
     interval_join,
+    interval_join_asof,
     interval_join_bucketed,
     remap_keys,
     validated_join,
@@ -70,6 +71,7 @@ __all__ = [
     "dedup_keep_first",
     "exact_percentiles",
     "interval_join",
+    "interval_join_asof",
     "interval_join_bucketed",
     "kmeans_fixed_point",
     "pagerank_fixed_point",

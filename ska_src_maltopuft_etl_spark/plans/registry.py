@@ -128,6 +128,8 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # driver-certified after this window certifies: ~125/151.
 _TAIL = [
     # Round-10 rotation: certified rows whose covers stay multiply held.
+    # Round-10 addition (window frozen; certified by the local sweep).
+    "interval_join_asof_sessions",
     "enum_mapping_priority",
     "duration_mining_per_row",
     "datetime_round_add",

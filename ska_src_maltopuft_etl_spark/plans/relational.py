@@ -19,6 +19,7 @@ from ska_src_maltopuft_etl_spark.operators import (
     asof_join_forward,
     exact_percentiles,
     interval_join,
+    interval_join_asof,
     interval_join_bucketed,
     remap_keys,
     surrogate_key,
@@ -392,6 +393,56 @@ def interval_join_bucketed_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         how="left",
         tie_break="session_start",
         tie_break_desc=True,
+    )
+    return out.select(
+        "event_id", F.unix_micros("session_start").alias("session_start_us")
+    )
+
+
+
+@register(
+    "interval_join_asof_sessions",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT epoch_us(MAX(s.ts)) FROM events s
+            WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+              AND s.ts <= e.ts AND e.ts <= s.ts + INTERVAL 3 DAY) AS session_start_us
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+    covers=("J5", "J6", "P5"),
+    description=(
+        "as-of formulation of the interval join (exact for non-nested "
+        "intervals, e.g. fixed-width sessions): union+last window, one "
+        "shuffle, zero pair blowup — the Zipf-hot-key-proof twin of "
+        "interval_join_bucketed_sessions (same oracle)"
+    ),
+)
+def interval_join_asof_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 Zipf-skew fix: interval_join_bucketed pairs every click
+    with every candidate session of the same (user, day-bucket) before
+    the tie-break — a Zipf-hot user alone yields tens of millions of
+    intermediate pairs (measured 8.7x cliff at the x10-zipf tier,
+    SCALING.md). Fixed-width sessions are non-nested, so the latest
+    containing session IS the as-of-backward match filtered on
+    containment: O(n log n) in the hot key, no blowup."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    )
+    out = interval_join_asof(
+        clicks,
+        sessions,
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        by=["user_id"],
+        how="left",
     )
     return out.select(
         "event_id", F.unix_micros("session_start").alias("session_start_us")

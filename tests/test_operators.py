@@ -501,3 +501,87 @@ def test_mmr_rerank_matches_python_greedy(spark):
         picked.append(nxt)
         remaining.pop(nxt)
     assert [v for _, v in got] == picked
+
+
+def test_interval_join_asof_matches_plain(spark):
+    """The as-of formulation must produce exactly the plain
+    interval_join result (tie_break=start desc) on the flagship
+    fixture — fixed-width sessions, i.e. non-nested, its exactness
+    domain — and on a randomized non-nested fixture with equal starts,
+    touching intervals, and probes outside every interval. Its plan
+    must contain NO join node at all (union + window)."""
+    import contextlib
+    import datetime as dt
+    import io
+    import random
+
+    from ska_src_maltopuft_etl_spark.operators.joins import (
+        interval_join,
+        interval_join_asof,
+    )
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    )
+    kwargs = dict(
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        by=["user_id"],
+        how="left",
+    )
+    plain = interval_join(
+        clicks, sessions, broadcast_right=False,
+        tie_break="session_start", tie_break_desc=True, **kwargs
+    )
+    asof = interval_join_asof(clicks, sessions, **kwargs)
+    key = lambda r: (r["event_id"], r["session_start"])  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, asof.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        asof.explain("formatted")
+    assert "Join" not in buf.getvalue()
+
+    # randomized non-nested fixture: sorted starts with non-decreasing
+    # ends per user (prefix-max of raw ends), equal starts allowed
+    rng = random.Random(11)
+    t0 = dt.datetime(2024, 1, 1)
+    ivals, probes = [], []
+    for u in range(1, 6):
+        starts = sorted(rng.randrange(0, 10_000) for _ in range(40))
+        end_floor = 0
+        for i, s0 in enumerate(starts):
+            end_floor = max(end_floor, s0 + rng.randrange(0, 500))
+            ivals.append(
+                (u, t0 + dt.timedelta(seconds=s0),
+                 t0 + dt.timedelta(seconds=end_floor))
+            )
+        for i in range(120):
+            probes.append((u * 1000 + i, u,
+                           t0 + dt.timedelta(seconds=rng.randrange(-100, 11_000))))
+    right = spark.createDataFrame(
+        ivals, "user_id long, session_start timestamp, session_end timestamp"
+    )
+    left = spark.createDataFrame(
+        probes, "event_id long, user_id long, ts timestamp"
+    )
+    plain = interval_join(
+        left, right, broadcast_right=False,
+        tie_break="session_start", tie_break_desc=True, **kwargs
+    )
+    asof = interval_join_asof(left, right, **kwargs)
+    # equal starts: plain's row_number tie-break is arbitrary among
+    # equal (start) rows; compare on (event_id, start) which is what
+    # the operator guarantees deterministically
+    assert sorted(map(key, plain.collect())) == sorted(
+        map(key, asof.collect())
+    )
