@@ -390,7 +390,7 @@ def test_sessionize_splits_gaps_within_one_batch(spark, tmp_path):
     data.mkdir()
     # ONE file = ONE batch: three sessions for user 1 (00:00-00:10,
     # 02:00, 10:00) plus a user 2 row that pins the final watermark at
-    # 09:30 (10:30 - 1h), timing out session 2 but not session 3.
+    # 09:30 (10:30 - 1h), sealing sessions 1 and 2 but not session 3.
     rows = [
         {"user_id": 1, "ts": "2024-01-01T00:10:00.000Z", "value": 3.0},
         {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z", "value": 1.0},
