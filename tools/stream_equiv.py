@@ -34,6 +34,14 @@ Certificates emitted (check_correctness-style OK/FAIL lines):
    the checkpoint into a parquet sink: final hash must equal #1.
 3. ``dedup_stream_vs_batch`` — ``stream_with_watermark_dedup`` on
    ``event_id`` == batch ``dropDuplicates``.
+4. ``interval_join_stream_vs_batch`` — ``join_event_streams`` (the
+   watermarked stream-stream interval join, self-join shape: each event
+   paired with the same user's events in the 300 s after it) == a batch
+   non-equi join of the staged rows. The watermark (4 days) exceeds the
+   out-of-order displacement (one 3-day block), so state retention
+   covers every admissible pair and the streaming result must be match-
+   complete — this is exactly the state-expiry contract the operator's
+   docstring claims and that unit tests can't certify at scale.
 
 Usage:
     python tools/stream_equiv.py [tier_dir] [--blocks 10]
@@ -234,6 +242,7 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from ska_src_maltopuft_etl_spark.streaming import (
+        join_event_streams,
         sessionize_events,
         stream_with_watermark_dedup,
     )
@@ -327,6 +336,56 @@ def main() -> int:
             n_d,
             h_d,
             f"(batch twin rows={n_t} hash={h_t}; {time.time() - t0:.0f}s)",
+        )
+
+        # --- certificate 4: stream-stream interval join == batch ------
+        t0 = time.time()
+        band_s = 300
+
+        def join_sides(left, right):
+            l = left.select(
+                "user_id",
+                "ts",
+                F.col("event_id").alias("l_event"),
+                F.col("value").alias("l_value"),
+            )
+            r = right.select(
+                "user_id",
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("r_event"),
+            )
+            return l, r
+
+        sl, sr = join_sides(
+            load_stream(spark, stage, schema), load_stream(spark, stage, schema)
+        )
+        joined_stream = join_event_streams(
+            sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
+            band_seconds=band_s, watermark=WATERMARK,
+        ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+        run_to_memory(spark, joined_stream, "equiv_ivjoin")
+        n_j, h_j = hash_df(spark.sql("SELECT * FROM equiv_ivjoin"))
+        ev_b = spark.read.parquet(stage).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+        bl, br = join_sides(ev_b, ev_b)
+        br = br.withColumnRenamed("user_id", "r_user")
+        twin_j = (
+            bl.join(
+                br,
+                (bl["user_id"] == br["r_user"])
+                & (br["r_ts"] >= bl["ts"])
+                & (br["r_ts"] <= bl["ts"] + F.expr(f"INTERVAL {band_s} SECONDS")),
+            )
+            .select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+        )
+        n_jb, h_jb = hash_df(twin_j)
+        record(
+            "interval_join_stream_vs_batch",
+            (n_j, h_j) == (n_jb, h_jb),
+            n_j,
+            h_j,
+            f"(batch twin rows={n_jb} hash={h_jb}; {time.time() - t0:.0f}s)",
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)

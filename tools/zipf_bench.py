@@ -22,8 +22,13 @@ uniform-vs-zipf delta is the cliff measurement.
 
 Usage:
     python tools/zipf_bench.py [zipf_tier] [uniform_tier] [--rounds 2]
+                               [--ab-only] [--out ZIPF_SKEW.json]
 
-Emits one JSON line per datapoint and writes ZIPF_SKEW.json.
+--ab-only runs just the key profiles + the sort-merge-join A/B (for the
+×100 tier, where the bucketed-interval flagship's known quadratic cliff
+would dominate the session without adding information).
+
+Emits one JSON line per datapoint and writes the --out artifact.
 """
 
 from __future__ import annotations
@@ -92,6 +97,14 @@ def main() -> int:
         i = args.index("--rounds")
         rounds = int(args[i + 1])
         del args[i : i + 2]
+    ab_only = "--ab-only" in args
+    if ab_only:
+        args.remove("--ab-only")
+    out_name = "ZIPF_SKEW.json"
+    if "--out" in args:
+        i = args.index("--out")
+        out_name = args[i + 1]
+        del args[i : i + 2]
     zipf = args[0] if args else "/tmp/sparkgraft_sf1_zipf"
     uniform = args[1] if len(args) > 1 else "/tmp/sparkgraft_sf1"
 
@@ -131,7 +144,7 @@ def main() -> int:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     # --- flagship family under the session default, uniform vs zipf --
-    for name in (
+    for name in () if ab_only else (
         "asof_join_forward_next_action",
         "interval_join_bucketed_sessions",
         "bloom_pruned_semi_join",
@@ -142,10 +155,11 @@ def main() -> int:
             record(kind="flagship", tier=tag, query=name,
                    wall_sec=timed(spark, lambda: fn(spark, tier), rounds))
 
-    with open(os.path.join(REPO, "ZIPF_SKEW.json"), "w") as f:
+    with open(os.path.join(REPO, out_name), "w") as f:
         json.dump({"zipf_tier": zipf, "uniform_tier": uniform,
-                   "rounds": rounds, "results": results}, f, indent=1)
-    print("wrote ZIPF_SKEW.json", flush=True)
+                   "rounds": rounds, "ab_only": ab_only,
+                   "results": results}, f, indent=1)
+    print(f"wrote {out_name}", flush=True)
     return 0
 
 
