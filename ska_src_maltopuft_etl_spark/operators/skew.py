@@ -43,11 +43,19 @@ def salted_join(
     replicated_small = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    # Pin the SHUFFLE hash join: if Catalyst instead broadcasts the
-    # replicated side (it fits the estimate at mid tiers), there is no
-    # shuffle left to de-skew and the k-way replication is pure
+    # Pin a SHUFFLED join (merge hint): if Catalyst instead broadcasts
+    # the replicated side (it fits the estimate at mid tiers), there is
+    # no shuffle left to de-skew and the k-way replication is pure
     # overhead — measured 3.1x at the ×10 tier (10.4 s broadcast-built
     # vs 3.4 s shuffled; SCALING.md round 10). A caller who can
     # broadcast the dim shouldn't be salting at all.
-    out = salted_large.join(replicated_small.hint("shuffle_hash"), [*on, "__salt"], how)
+    #
+    # MERGE, not shuffle_hash: a hash build side cannot spill — at the
+    # ×100 tier the 8×-replicated dim's per-partition hash relation
+    # exceeded task memory and every retry died with
+    # cannotAcquireMemoryToBuildUnsafeHashedRelation (SCALING.md round
+    # 10, ×100-zipf A/B). Sort-merge blocks the broadcast just as well
+    # and spills both sides, so the operator survives any dim size —
+    # the property that matters at 100 TB.
+    out = salted_large.join(replicated_small.hint("merge"), [*on, "__salt"], how)
     return out.drop("__salt")
