@@ -237,6 +237,7 @@ _TAIL = [
     "surrogate_key_dense",
     "rollup_revenue",
     "percentile_stats",
+    "revenue_exact_decimal",
 ]
 assert len(_TAIL) == len(set(_TAIL)), "duplicate entries in _TAIL"
 assert len(QUERIES) - len({k for k in _TAIL if k in QUERIES}) <= 50, (

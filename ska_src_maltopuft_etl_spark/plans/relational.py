@@ -2008,6 +2008,48 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_exact_decimal",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    covers=("J1", "A2"),
+    description=(
+        "scale-exact money aggregation: DECIMAL-typed sum. A double sum "
+        "of 12M money values is order-nondeterministic in its last two "
+        "decimals (measured at the x100 tier: Spark-vs-DuckDB relative "
+        "spread 6e-14, and DuckDB disagrees with ITSELF by 0.27 across "
+        "thread counts — IEEE-754 association, not engine error). "
+        "Decimal addition is associative, so this twin is hash-identical "
+        "between engines at ANY tier and partitioning — the money path "
+        "a 100 TB ledger needs. Prices/discounts are 2-decimal by "
+        "construction, so the decimal(18,2) casts are exact; the single "
+        "final cast of the EXACT sum to double is one deterministic "
+        "rounding (portable surface for the driver's comparator)."
+    ),
+)
+def revenue_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    od = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), F.col("o_orderpriority")
+    )
+    return li.join(od, "l_orderkey").groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+@register(
     "approx_distinct_accuracy",
     oracle="""
     SELECT event_type,
