@@ -147,6 +147,7 @@ def main() -> int:
     for name in () if ab_only else (
         "asof_join_forward_next_action",
         "interval_join_bucketed_sessions",
+        "interval_join_asof_sessions",
         "bloom_pruned_semi_join",
         "salted_join_revenue",
     ):
