@@ -1029,15 +1029,29 @@ def null_guard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_agg",
     oracle="""
     WITH marked AS (
-      SELECT user_id, ts, value,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                       > INTERVAL 30 MINUTE OR
-                       LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      -- >= not >: Spark's native session_window is half-open
+      -- [start, last+gap) — an event at EXACTLY gap distance starts a
+      -- new session. Invisible at the uniform tiers; the x100-zipf
+      -- tier (replicated base timestamps remixed onto hot users)
+      -- manufactured an exact-gap pair and caught the divergence.
+      -- ORDER BY ts, event_id (total order): with duplicate timestamps
+      -- (the x100 tier remixes replicated base events onto one user)
+      -- an ORDER BY ts alone lets the LAG pass and the SUM pass below
+      -- tie-break the equal-ts rows DIFFERENTLY, smearing a
+      -- new_session marker across sessions (measured at x100-zipf:
+      -- one of two equal-ts rows fused into the prior session).
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                       >= INTERVAL 30 MINUTE OR
+                       LAG(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events),
     sessions AS (
       SELECT user_id, ts, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_no
       FROM marked)
     SELECT user_id, epoch_us(MIN(ts)) AS session_start_us,

@@ -152,6 +152,14 @@ def sessionize_events(
     Batch demo/verification uses session_window aggregation instead
     (see plans/relational streaming-adjacent queries).
 
+    Tie convention: two events EXACTLY ``gap_minutes`` apart share a
+    session (gap test is strict ``>``), unlike the native
+    ``session_window`` whose half-open [start, last+gap) window splits
+    there. Both conventions are defensible; this one matches the
+    gaps-and-islands SQL idiom, and the ×10 stream-vs-batch certificate
+    (tools/stream_equiv.py) pins it against a batch twin with the same
+    convention.
+
     ``timeout`` picks the session-close clock:
 
     - ``"event"`` (default): EventTimeTimeout — a session is emitted
@@ -306,6 +314,7 @@ def join_event_streams(
     right_ts: str,
     band_seconds: int = 300,
     watermark: str = "10 minutes",
+    bucketed: bool = True,
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each left event
     with right events for the same key occurring within
@@ -315,18 +324,48 @@ def join_event_streams(
     Both sides carry watermarks and the join condition bounds the time
     distance, so Spark can expire buffered state once the watermark
     passes an event's band — state is O(events inside the horizon),
-    not O(stream). Without the band the state store would grow without
-    bound; this is the scale-critical part of the operator, not the
-    join syntax.
+    not O(stream).
+
+    ``bucketed`` (default): the equi-key is composed with a
+    band-sized time bucket, which bounds the PROBE cost, not just the
+    state size. With the key alone, every new row is checked against
+    ALL buffered rows of its key inside the horizon — O(n_key²) per
+    hot key, single-threaded (streaming joins have no AQE skew-split;
+    measured: a 72k-event Zipf hot key did not finish its ×10
+    certificate within 30 minutes). A right event at t can only match
+    left events in buckets {floor(t/band)-1, floor(t/band)}, so the
+    right side is exploded into those two candidate buckets and the
+    join becomes a plain multi-column equi-join plus the exact band
+    filter — probe cost O(n_key × band-density), the same reduction
+    the batch ``interval_join_bucketed`` applies. Output is identical
+    to the unbucketed join (the exact band condition is still
+    applied); ``bucketed=False`` keeps the naive formulation as the
+    parity baseline.
     """
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
-    cond = (
-        (lw[key] == rw[key])
-        & (rw[right_ts] >= lw[left_ts])
-        & (
-            rw[right_ts]
-            <= lw[left_ts] + F.expr(f"INTERVAL {int(band_seconds)} SECONDS")
-        )
+    band = int(band_seconds)
+    exact = (rw[right_ts] >= lw[left_ts]) & (
+        rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {band} SECONDS")
     )
-    return lw.join(rw, cond)
+    if not bucketed:
+        return lw.join(rw, (lw[key] == rw[key]) & exact)
+    lb = lw.withColumn(
+        "__band_bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / band)
+    )
+    rb = rw.withColumn(
+        "__band_bucket",
+        F.explode(
+            F.array(
+                F.floor(F.unix_timestamp(F.col(right_ts)) / band) - 1,
+                F.floor(F.unix_timestamp(F.col(right_ts)) / band),
+            )
+        ),
+    )
+    cond = (
+        (lb[key] == rb[key])
+        & (lb["__band_bucket"] == rb["__band_bucket"])
+        & (rb[right_ts] >= lb[left_ts])
+        & (rb[right_ts] <= lb[left_ts] + F.expr(f"INTERVAL {band} SECONDS"))
+    )
+    return lb.join(rb, cond).drop("__band_bucket")

@@ -261,6 +261,70 @@ def test_stream_stream_interval_join(spark, tmp_path):
     assert [(r["page"], r["target"]) for r in rows] == [("a", "x")]
 
 
+def test_stream_join_bucketed_naive_parity(spark, tmp_path):
+    """The band-bucketed equi-key rewrite (the hot-key probe fix) must
+    emit EXACTLY the naive formulation's pairs. Fixture hits the edges:
+    match at distance 0, at exactly band_seconds, one second beyond,
+    pairs straddling a bucket boundary, and a key collision."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.streaming import join_event_streams
+
+    left_rows = [
+        {"user_id": 1, "l_ts": "2024-01-01T00:04:30.000Z", "tag": "l1"},
+        {"user_id": 1, "l_ts": "2024-01-01T00:09:00.000Z", "tag": "l2"},
+        {"user_id": 2, "l_ts": "2024-01-01T00:04:30.000Z", "tag": "l3"},
+    ]
+    right_rows = [
+        # same instant as l1 (distance 0, same bucket)
+        {"user_id": 1, "r_ts": "2024-01-01T00:04:30.000Z", "mark": "r1"},
+        # 04:59 -> bucket boundary at 05:00 not yet crossed; matches l1
+        {"user_id": 1, "r_ts": "2024-01-01T00:04:59.000Z", "mark": "r2"},
+        # 05:30 is in l1's band but in the NEXT 300s bucket (l1 sits in
+        # bucket 0 = [00:00,05:00), r3 in bucket 1) -> exercises the
+        # exploded bucket-1 arm of the rewrite
+        {"user_id": 1, "r_ts": "2024-01-01T00:05:30.000Z", "mark": "r3"},
+        # exactly band_seconds after l1 (inclusive upper edge)
+        {"user_id": 1, "r_ts": "2024-01-01T00:09:30.000Z", "mark": "r4"},
+        # one second beyond l1's band; still in l2's band
+        {"user_id": 1, "r_ts": "2024-01-01T00:09:31.000Z", "mark": "r5"},
+        # right key with no matching left key time-wise
+        {"user_id": 2, "r_ts": "2024-01-01T00:20:00.000Z", "mark": "r6"},
+    ]
+    ldir = tmp_path / "pl"; rdir = tmp_path / "pr"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "l.json").write_text("\n".join(_json.dumps(r) for r in left_rows))
+    (rdir / "r.json").write_text("\n".join(_json.dumps(r) for r in right_rows))
+
+    def run(bucketed, name):
+        l = spark.readStream.schema("user_id long, l_ts timestamp, tag string").json(str(ldir))
+        r = spark.readStream.schema("user_id long, r_ts timestamp, mark string").json(str(rdir))
+        j = join_event_streams(
+            l, r, "user_id", "l_ts", "r_ts", band_seconds=300, bucketed=bucketed
+        )
+        q = (
+            j.selectExpr("tag", "mark")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120) is True
+        return sorted(
+            (row["tag"], row["mark"])
+            for row in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    bucketed = run(True, "pj_bucketed")
+    naive = run(False, "pj_naive")
+    assert bucketed == naive
+    assert bucketed == [
+        ("l1", "r1"), ("l1", "r2"), ("l1", "r3"), ("l1", "r4"),
+        ("l2", "r4"), ("l2", "r5"),
+    ]
+
+
 def test_streaming_curation_stream_static_and_foreachbatch(spark, tmp_path):
     """Stream-static decontamination: detection via a continuous
     stream-static join, filtering via foreachBatch (batch semantics per

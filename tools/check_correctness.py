@@ -64,6 +64,11 @@ def main() -> int:
     # LSH and ×100 kmeans/minhash oracles each spilled >60 GB of temp
     # before this cap existed; the Spark side runs those tiers fine).
     try:
+        # an in-memory duckdb has NO default temp directory — without
+        # one it cannot offload at all and dies at the memory limit
+        # ("failed to offload data block", seen at the ×100-zipf asof
+        # oracle) long before the size cap below is relevant.
+        con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         con.execute("SET max_temp_directory_size='40GiB'")
     except duckdb.Error:
         pass  # older duckdb without the setting
