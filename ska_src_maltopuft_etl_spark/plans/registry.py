@@ -126,10 +126,53 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # held). Verified at edit time by iterative covers-closure: zero §2 IDs
 # lose their last in-window holder. Cumulative distinct
 # driver-certified after this window certifies: ~125/151.
+#
+# Round 11: FINAL rotation per the round-10 judge directive (VERDICT.md
+# "Next round" #1): the last 28 never-driver-certified queries move
+# in-window (the judge's named list: the round-3 analytics tail —
+# histogram_order_totals, text_rarity_score, robust_stats_mad,
+# association_rules_lift, variant_props_stats, time_range_moving_stats,
+# weighted_sample_docs, cohort_weekly_retention, … — plus the two
+# round-10 additions revenue_exact_decimal and
+# interval_join_asof_sessions). In exchange 28 driver-certified rows
+# rotate to the tail (r10 first-timer TPC-H stragglers and stalwarts
+# whose covers stay multiply held). Verified at edit time by iterative
+# covers-closure (script in the round-11 session log): zero §2 IDs lose
+# their last in-window holder. After this window certifies, cumulative
+# distinct driver-certified = 153/153 — every registered query
+# driver-certified at least once; the rotation backlog is retired.
 _TAIL = [
+    # Round-11 rotation OUT: certified rows whose covers stay multiply
+    # held after the 28 never-certified names move in-window.
+    "union_distinct_nationkeys",
+    "interval_join_bucketed_sessions",
+    "q04_order_priority",
+    "q12_priority_shipping",
+    "q14_promo_share",
+    "q19_disjunctive_filter",
+    "q02_cheapest_supplier",
+    "timeseries_gapfill_locf",
+    "data_quality_report",
+    "knn_cosine_lsh",
+    "dedup_embedding_cosine",
+    "q07_nation_volume",
+    "q08_market_share",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "q20_part_promotion",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
+    "rag_chunk_documents",
+    "interval_union_coverage",
+    "asof_join_nearest_action",
+    "activity_bitmap_segments",
+    "cusum_changepoint",
+    "exp_smoothing_daily",
     # Round-10 rotation: certified rows whose covers stay multiply held.
-    # Round-10 addition (window frozen; certified by the local sweep).
-    "interval_join_asof_sessions",
     "enum_mapping_priority",
     "duration_mining_per_row",
     "datetime_round_add",
@@ -191,41 +234,15 @@ _TAIL = [
     # Round-3 additions (window frozen at the round-2 certified 50; all
     # new queries land in the tail and are certified by the local
     # three-SF oracle sweep instead).
-    "histogram_order_totals",
-    "text_rarity_score",
-    "embedding_outliers_per_label",
-    "decile_revenue_share",
-    "text_ngram_novelty",
-    "supply_graph_degree_profile",
-    "dup_rate_by_source",
-    "association_rules_lift",
-    "time_weighted_average_value",
-    "gini_revenue_concentration",
-    "weekly_growth_rates",
-    "join_key_skew_report",
-    "cumulative_unique_users",
-    "robust_stats_mad",
-    "dataset_drift_report",
-    "revenue_share_within_region",
-    "null_profile_report",
-    "conversion_wilson_ci",
-    "source_vocab_overlap",
-    "map_type_event_profile",
-    "set_intersect_except",
-    "variant_props_stats",
     "join_validated_1m",
     "join_left_m1",
-    "embedding_stats",
     "topk_orders_per_nation",
     "text_fingerprint",
-    "cohort_weekly_retention",
     "q05_local_supplier_volume",
     "bloom_pruned_semi_join",
     "funnel_view_click_purchase",
     "approx_distinct_accuracy",
     "approx_quantile_accuracy",
-    "weighted_sample_docs",
-    "time_range_moving_stats",
     "join_semi_shipped_parts",
     "explode_word_counts",
     "q06_forecast_revenue",
@@ -237,7 +254,6 @@ _TAIL = [
     "surrogate_key_dense",
     "rollup_revenue",
     "percentile_stats",
-    "revenue_exact_decimal",
 ]
 assert len(_TAIL) == len(set(_TAIL)), "duplicate entries in _TAIL"
 assert len(QUERIES) - len({k for k in _TAIL if k in QUERIES}) <= 50, (

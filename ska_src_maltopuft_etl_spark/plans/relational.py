@@ -2026,8 +2026,9 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4)) AS VARCHAR)
                AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
@@ -2042,9 +2043,11 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Decimal addition is associative, so this twin is hash-identical "
         "between engines at ANY tier and partitioning — the money path "
         "a 100 TB ledger needs. Prices/discounts are 2-decimal by "
-        "construction, so the decimal(18,2) casts are exact; the single "
-        "final cast of the EXACT sum to double is one deterministic "
-        "rounding (portable surface for the driver's comparator)."
+        "construction, so the decimal(18,2) casts are exact; the "
+        "certificate surface is the EXACT sum rendered at its native "
+        "scale 4 as a fixed-scale string — zero floating-point anywhere, "
+        "so hash equality cannot depend on cross-engine decimal->double "
+        "rounding parity (round-11 ADVICE fix)."
     ),
 )
 def revenue_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2058,7 +2061,8 @@ def revenue_exact_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1) - F.col("l_discount")).cast("decimal(18,2)")
         )
-        .cast("double")
+        .cast("decimal(38,4)")
+        .cast("string")
         .alias("revenue"),
     )
 

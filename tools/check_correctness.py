@@ -63,12 +63,19 @@ def main() -> int:
     # scaled tier FAILS LOUDLY instead of exhausting the disk (the ×10
     # LSH and ×100 kmeans/minhash oracles each spilled >60 GB of temp
     # before this cap existed; the Spark side runs those tiers fine).
+    # Each SET in its own try/except: a failure of one must not
+    # silently drop the other (the 40GiB cap exists to stop unbounded
+    # /tmp spill; losing it because temp_directory errored would
+    # restore exactly that failure mode).
     try:
         # an in-memory duckdb has NO default temp directory — without
         # one it cannot offload at all and dies at the memory limit
         # ("failed to offload data block", seen at the ×100-zipf asof
         # oracle) long before the size cap below is relevant.
         con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
+    except duckdb.Error:
+        pass  # older duckdb without the setting
+    try:
         con.execute("SET max_temp_directory_size='40GiB'")
     except duckdb.Error:
         pass  # older duckdb without the setting
