@@ -6,6 +6,7 @@ from ska_src_maltopuft_etl_spark.operators.joins import (
     interval_join,
     interval_join_asof,
     interval_join_bucketed,
+    interval_join_sweep,
     remap_keys,
     validated_join,
 )
@@ -73,6 +74,7 @@ __all__ = [
     "interval_join",
     "interval_join_asof",
     "interval_join_bucketed",
+    "interval_join_sweep",
     "kmeans_fixed_point",
     "pagerank_fixed_point",
     "remap_keys",

@@ -142,6 +142,8 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # distinct driver-certified = 153/153 — every registered query
 # driver-certified at least once; the rotation backlog is retired.
 _TAIL = [
+    # Round-11 addition (window frozen; certified by the local sweep).
+    "interval_join_sweep_sessions",
     # Round-11 rotation OUT: certified rows whose covers stay multiply
     # held after the 28 never-certified names move in-window.
     "union_distinct_nationkeys",

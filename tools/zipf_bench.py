@@ -148,6 +148,7 @@ def main() -> int:
         "asof_join_forward_next_action",
         "interval_join_bucketed_sessions",
         "interval_join_asof_sessions",
+        "interval_join_sweep_sessions",
         "bloom_pruned_semi_join",
         "salted_join_revenue",
     ):
