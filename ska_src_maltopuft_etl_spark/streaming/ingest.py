@@ -315,6 +315,7 @@ def join_event_streams(
     band_seconds: int = 300,
     watermark: str = "10 minutes",
     bucketed: bool = True,
+    how: str = "inner",
 ) -> DataFrame:
     """Watermarked stream-stream interval join: pair each left event
     with right events for the same key occurring within
@@ -325,6 +326,19 @@ def join_event_streams(
     distance, so Spark can expire buffered state once the watermark
     passes an event's band — state is O(events inside the horizon),
     not O(stream).
+
+    ``how="leftOuter"`` (round-11, VERDICT r10 item #4) emits each
+    unmatched left event exactly once, with nulls on the right columns,
+    WHEN the watermark closes its band — the shape late-data pipelines
+    need ("which clicks never got a confirmation within 5 minutes").
+    The null-emission timing is watermark-driven: a left row is held in
+    state until the event-time watermark passes ``left_ts + band`` (no
+    right row could still arrive inside the band), then released as
+    unmatched. The bucketed rework composes with this unchanged: a left
+    row has exactly ONE band bucket, so the outer join null-extends it
+    at most once — no duplicate unmatched rows from the right-side
+    bucket explosion (the exploded side is the INNER side, whose
+    duplicates are join candidates, never output rows).
 
     ``bucketed`` (default): the equi-key is composed with a
     band-sized time bucket, which bounds the PROBE cost, not just the
@@ -342,6 +356,8 @@ def join_event_streams(
     applied); ``bucketed=False`` keeps the naive formulation as the
     parity baseline.
     """
+    if how not in ("inner", "leftOuter"):
+        raise ValueError(f"how={how!r}: supported joins are inner / leftOuter")
     lw = left.withWatermark(left_ts, watermark)
     rw = right.withWatermark(right_ts, watermark)
     band = int(band_seconds)
@@ -349,7 +365,7 @@ def join_event_streams(
         rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {band} SECONDS")
     )
     if not bucketed:
-        return lw.join(rw, (lw[key] == rw[key]) & exact)
+        return lw.join(rw, (lw[key] == rw[key]) & exact, how)
     lb = lw.withColumn(
         "__band_bucket", F.floor(F.unix_timestamp(F.col(left_ts)) / band)
     )
@@ -368,4 +384,4 @@ def join_event_streams(
         & (rb[right_ts] >= lb[left_ts])
         & (rb[right_ts] <= lb[left_ts] + F.expr(f"INTERVAL {band} SECONDS"))
     )
-    return lb.join(rb, cond).drop("__band_bucket")
+    return lb.join(rb, cond, how).drop("__band_bucket")

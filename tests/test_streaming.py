@@ -672,3 +672,65 @@ def test_sessionize_no_emit_before_watermark_seals(spark, tmp_path):
     # strictly past it; nothing is sealed, nothing may emit.
     got = _run_sessionize(spark, data, "unsealed")
     assert got == []
+
+
+def test_stream_join_left_outer_watermark_nulls(spark, tmp_path):
+    """leftOuter stream-stream join: unmatched left events emit exactly
+    once with null right columns WHEN the watermark closes their band;
+    left events whose band the watermark has not yet passed stay
+    pending (not emitted), and the bucketed rewrite must not duplicate
+    or drop null-extended rows."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.streaming import join_event_streams
+
+    left_rows = [
+        # matched inside the band
+        {"user_id": 1, "l_ts": "2024-01-01T00:00:00.000Z", "tag": "l_hit"},
+        # no right row ever -> must surface as (l_miss, null) once the
+        # watermark passes 00:00 + band
+        {"user_id": 2, "l_ts": "2024-01-01T00:00:00.000Z", "tag": "l_miss"},
+        # watermark clock: pushes final wm to 00:59; its own band
+        # (until 01:05) is still open, so it must NOT emit
+        {"user_id": 3, "l_ts": "2024-01-01T01:00:00.000Z", "tag": "l_pending"},
+    ]
+    right_rows = [
+        {"user_id": 1, "r_ts": "2024-01-01T00:02:00.000Z", "mark": "r_hit"},
+        # advances the right-side watermark too
+        {"user_id": 9, "r_ts": "2024-01-01T01:00:00.000Z", "mark": "r_clock"},
+    ]
+    ldir = tmp_path / "lo_l"; rdir = tmp_path / "lo_r"
+    ldir.mkdir(); rdir.mkdir()
+    (ldir / "l.json").write_text("\n".join(_json.dumps(r) for r in left_rows))
+    (rdir / "r.json").write_text("\n".join(_json.dumps(r) for r in right_rows))
+
+    def run(bucketed, name):
+        l = spark.readStream.schema(
+            "user_id long, l_ts timestamp, tag string"
+        ).json(str(ldir))
+        r = spark.readStream.schema(
+            "user_id long, r_ts timestamp, mark string"
+        ).json(str(rdir))
+        j = join_event_streams(
+            l, r, "user_id", "l_ts", "r_ts", band_seconds=300,
+            watermark="1 minute", bucketed=bucketed, how="leftOuter",
+        )
+        q = (
+            j.selectExpr("tag", "mark")
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120) is True
+        return sorted(
+            (row["tag"], row["mark"])
+            for row in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    want = [("l_hit", "r_hit"), ("l_miss", None)]
+    got_bucketed = run(True, "lo_bucketed")
+    got_naive = run(False, "lo_naive")
+    assert got_bucketed == want
+    assert got_naive == want

@@ -387,6 +387,53 @@ def main() -> int:
             h_j,
             f"(batch twin rows={n_jb} hash={h_jb}; {time.time() - t0:.0f}s)",
         )
+
+        # --- certificate 5: LEFT-OUTER stream-stream join == batch ----
+        # (round-11, VERDICT r10 item #4). The outer contract is
+        # timing-sensitive: an unmatched left event may only emit once
+        # the watermark closes its band (ts + band < wm), so the batch
+        # twin is a left join whose null-extended rows are filtered to
+        # bands the FINAL watermark sealed — matched pairs emit
+        # unconditionally. The bucketed rewrite must not duplicate a
+        # null-extension (left rows carry exactly one band bucket).
+        t0 = time.time()
+        sl, sr = join_sides(
+            load_stream(spark, stage, schema), load_stream(spark, stage, schema)
+        )
+        joined_outer = join_event_streams(
+            sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
+            band_seconds=band_s, watermark=WATERMARK, how="leftOuter",
+        ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+        run_to_memory(spark, joined_outer, "equiv_ivjoin_lo")
+        n_o, h_o = hash_df(spark.sql("SELECT * FROM equiv_ivjoin_lo"))
+        final_wm_us = (info["ts_max_us"] // 1000 - WATERMARK_MS) * 1000
+        bl, br = join_sides(ev_b, ev_b)
+        br = br.withColumnRenamed("user_id", "r_user")
+        twin_o = (
+            bl.join(
+                br,
+                (bl["user_id"] == br["r_user"])
+                & (br["r_ts"] >= bl["ts"])
+                & (br["r_ts"] <= bl["ts"] + F.expr(f"INTERVAL {band_s} SECONDS")),
+                "left",
+            )
+            .where(
+                F.col("r_event").isNotNull()
+                | (
+                    F.unix_micros("ts") + F.lit(band_s * 1_000_000)
+                    < F.lit(final_wm_us)
+                )
+            )
+            .select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+        )
+        n_ob, h_ob = hash_df(twin_o)
+        record(
+            "interval_join_left_outer_stream_vs_batch",
+            (n_o, h_o) == (n_ob, h_ob),
+            n_o,
+            h_o,
+            f"(batch twin rows={n_ob} hash={h_ob}; {time.time() - t0:.0f}s)",
+        )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         for d in work:
