@@ -396,8 +396,28 @@ def main() -> int:
         # bands the FINAL watermark sealed — matched pairs emit
         # unconditionally. The bucketed rewrite must not duplicate a
         # null-extension (left rows carry exactly one band bucket).
+        # ASYMMETRIC sides (clicks → purchases): a symmetric self-join
+        # would match every left row to itself at distance 0 and the
+        # outer path would never produce a null row — the certificate
+        # must force real unmatched lefts, both sealed (emitted with
+        # nulls) and open-band at end-of-stream (withheld).
         t0 = time.time()
-        sl, sr = join_sides(
+
+        def outer_sides(left, right):
+            l = left.where(F.col("event_type") == "click").select(
+                "user_id",
+                "ts",
+                F.col("event_id").alias("l_event"),
+                F.col("value").alias("l_value"),
+            )
+            r = right.where(F.col("event_type") == "purchase").select(
+                "user_id",
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("r_event"),
+            )
+            return l, r
+
+        sl, sr = outer_sides(
             load_stream(spark, stage, schema), load_stream(spark, stage, schema)
         )
         joined_outer = join_event_streams(
@@ -406,8 +426,11 @@ def main() -> int:
         ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
         run_to_memory(spark, joined_outer, "equiv_ivjoin_lo")
         n_o, h_o = hash_df(spark.sql("SELECT * FROM equiv_ivjoin_lo"))
+        n_null = spark.sql(
+            "SELECT count(*) FROM equiv_ivjoin_lo WHERE r_event IS NULL"
+        ).first()[0]
         final_wm_us = (info["ts_max_us"] // 1000 - WATERMARK_MS) * 1000
-        bl, br = join_sides(ev_b, ev_b)
+        bl, br = outer_sides(ev_b, ev_b)
         br = br.withColumnRenamed("user_id", "r_user")
         twin_o = (
             bl.join(
@@ -429,10 +452,11 @@ def main() -> int:
         n_ob, h_ob = hash_df(twin_o)
         record(
             "interval_join_left_outer_stream_vs_batch",
-            (n_o, h_o) == (n_ob, h_ob),
+            (n_o, h_o) == (n_ob, h_ob) and n_null > 0,
             n_o,
             h_o,
-            f"(batch twin rows={n_ob} hash={h_ob}; {time.time() - t0:.0f}s)",
+            f"(batch twin rows={n_ob} hash={h_ob}; null-extended rows={n_null}; "
+            f"{time.time() - t0:.0f}s)",
         )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
