@@ -7,6 +7,7 @@ from ska_src_maltopuft_etl_spark.operators.joins import (
     interval_join_asof,
     interval_join_bucketed,
     interval_join_sweep,
+    interval_overlap_join,
     remap_keys,
     validated_join,
 )
@@ -75,6 +76,7 @@ __all__ = [
     "interval_join_asof",
     "interval_join_bucketed",
     "interval_join_sweep",
+    "interval_overlap_join",
     "kmeans_fixed_point",
     "pagerank_fixed_point",
     "remap_keys",

@@ -601,6 +601,94 @@ def interval_join_asof(
     return out
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width_s: int = 86400,
+    by: Sequence[str] = (),
+    right_prefix: str = "",
+) -> DataFrame:
+    """Interval×interval OVERLAP join (inner): pair every left interval
+    with every right interval of the same ``by`` group whose
+    [start, end] ranges intersect (closed ends: touching endpoints
+    overlap). The interval-point operators (:func:`interval_join`
+    family) cannot express this — it is the "sessions × maintenance
+    windows" / "annotation spans × document windows" shape.
+
+    Scale design — the dedup-free first-common-bucket trick: both sides
+    explode to the time buckets they cover and equi-join on
+    (by..., bucket) with the overlap residual, which alone would emit
+    each overlapping pair once PER SHARED BUCKET; instead of a
+    distinct-shuffle to repair that, the join keeps only the bucket
+    containing ``max(left_start, right_start)``. For any overlapping
+    pair, max(starts) <= min(ends), so that bucket is covered by BOTH
+    intervals and is unique — every overlapping pair emits from exactly
+    one bucket, non-overlapping pairs from none. One shuffle, no dedup,
+    no window. Cost: each side is replicated span/width + 1 times —
+    pick ``bucket_width_s`` near the typical span. Output size is the
+    true overlap count (inherent); for Zipf-hot keys the time axis in
+    the shuffle key spreads the work exactly as in
+    ``interval_join_bucketed``.
+    """
+    by = list(by)
+    rcols = [c for c in right.columns if c not in by]
+    renamed = right
+    if right_prefix:
+        for c in rcols:
+            renamed = renamed.withColumnRenamed(c, f"{right_prefix}{c}")
+    out_rcols = [f"{right_prefix}{c}" for c in rcols]
+    if set(out_rcols) & set(left.columns):
+        clash = set(out_rcols) & set(left.columns)
+        raise ValueError(
+            f"right columns clash with left: {sorted(clash)}; pass right_prefix"
+        )
+    rstart = f"{right_prefix}{right_start}"
+    rend = f"{right_prefix}{right_end}"
+    width_us = int(bucket_width_s) * 1_000_000
+
+    def bucketed(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__ov_bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start)) / F.lit(width_us)),
+                    F.floor(F.unix_micros(F.col(end)) / F.lit(width_us)),
+                )
+            ),
+        )
+
+    lb = bucketed(left, left_start, left_end)
+    rb = bucketed(renamed, rstart, rend)
+    cond = (
+        (lb["__ov_bucket"] == rb["__ov_bucket"])
+        # overlap: neither interval ends before the other starts
+        & (lb[left_start] <= rb[rend])
+        & (rb[rstart] <= lb[left_end])
+        # first-common-bucket: emit only where max(starts) lands, which
+        # both sides cover iff they overlap — exactly-once without dedup
+        & (
+            lb["__ov_bucket"]
+            == F.floor(
+                F.greatest(
+                    F.unix_micros(lb[left_start]), F.unix_micros(rb[rstart])
+                )
+                / F.lit(width_us)
+            )
+        )
+    )
+    for k in by:
+        cond = cond & (lb[k] == rb[k])
+    joined = lb.join(rb, cond, "inner")
+    joined = joined.drop(rb["__ov_bucket"]).drop(lb["__ov_bucket"])
+    for k in by:
+        joined = joined.drop(rb[k])
+    return joined.select(*left.columns, *out_rcols)
+
+
 # ---------------------------------------------------------------------------
 # Cardinality-validated equi-join (J1-J4)
 # ---------------------------------------------------------------------------

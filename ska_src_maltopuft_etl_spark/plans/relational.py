@@ -22,6 +22,7 @@ from ska_src_maltopuft_etl_spark.operators import (
     interval_join_asof,
     interval_join_bucketed,
     interval_join_sweep,
+    interval_overlap_join,
     remap_keys,
     surrogate_key,
     validated_join,
@@ -533,6 +534,57 @@ def interval_join_sweep_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", F.unix_micros("session_start").alias("session_start_us")
     )
+
+
+@register(
+    "interval_overlap_pairs",
+    oracle="""
+    WITH ses AS (SELECT event_id AS s_event, user_id, ts AS s_start,
+                        ts + INTERVAL 3 DAY AS s_end
+                 FROM events WHERE event_type = 'signup'),
+         win AS (SELECT event_id AS w_event, user_id, ts AS w_start,
+                        ts + INTERVAL 1 DAY AS w_end
+                 FROM events WHERE event_type = 'purchase')
+    SELECT s.s_event, w.w_event
+    FROM ses s JOIN win w
+      ON w.user_id = s.user_id
+     AND s.s_start <= w.w_end AND w.w_start <= s.s_end
+    """,
+    covers=("J5", "P5"),
+    description=(
+        "interval×interval OVERLAP join (signup sessions × purchase "
+        "windows per user) via the dedup-free first-common-bucket "
+        "trick: both sides explode to day buckets, each overlapping "
+        "pair emits from exactly the bucket of max(starts) — one "
+        "shuffle, no distinct, no window; the interval-point family "
+        "cannot express this shape"
+    ),
+)
+def interval_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ses = ev.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("s_event"),
+        "user_id",
+        F.col("ts").alias("s_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("s_end"),
+    )
+    win = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("w_event"),
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("w_end"),
+    )
+    out = interval_overlap_join(
+        ses,
+        win,
+        left_start="s_start",
+        left_end="s_end",
+        right_start="w_start",
+        right_end="w_end",
+        bucket_width_s=86400,
+        by=["user_id"],
+    )
+    return out.select("s_event", "w_event")
 
 
 @register(

@@ -355,3 +355,59 @@ def test_interval_join_sweep_nested_boundaries(spark):
     )
     asof_got = {r["ts"]: r["r_tag"] for r in asof.collect()}
     assert asof_got[d(50)] is None  # the documented non-nested limitation
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    lints=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 200)),
+        min_size=1, max_size=12,
+    ),
+    rints=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 500), st.integers(0, 200)),
+        min_size=0, max_size=12,
+    ),
+    width=st.sampled_from([7, 60, 1000]),
+)
+def test_interval_overlap_join_matches_python_model(spark, lints, rints, width):
+    """Interval×interval overlap join vs a brute-force python model:
+    every overlapping pair exactly ONCE (the first-common-bucket trick
+    must not duplicate pairs that share several buckets, nor drop pairs
+    that touch at a single endpoint), at bucket widths smaller than,
+    near, and larger than the spans."""
+    import datetime as dt
+
+    from ska_src_maltopuft_etl_spark.operators.joins import interval_overlap_join
+
+    base = dt.datetime(2024, 1, 1)
+
+    def mk(rows, tag):
+        return [
+            (i, k, base + dt.timedelta(seconds=s),
+             base + dt.timedelta(seconds=s + d))
+            for i, (k, s, d) in enumerate(rows)
+        ]
+
+    ldf = spark.createDataFrame(
+        mk(lints, "l"), "lid long, k long, s timestamp, e timestamp"
+    )
+    rdf = spark.createDataFrame(
+        mk(rints, "r") or [], "rid long, k long, s timestamp, e timestamp"
+    )
+    out = interval_overlap_join(
+        ldf, rdf, left_start="s", left_end="e",
+        right_start="s", right_end="e",
+        bucket_width_s=width, by=["k"], right_prefix="r_",
+    )
+    got = sorted((r["lid"], r["r_rid"]) for r in out.collect())
+    want = sorted(
+        (i, j)
+        for i, (k1, s1, d1) in enumerate(lints)
+        for j, (k2, s2, d2) in enumerate(rints)
+        if k1 == k2 and s1 <= s2 + d2 and s2 <= s1 + d1
+    )
+    assert got == want
