@@ -141,13 +141,15 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # their last in-window holder. After this window certifies, cumulative
 # distinct driver-certified = 153/153 queries registered at rotation
 # time — every one driver-certified at least once; the rotation backlog
-# is retired. The two round-11 additions (interval_join_sweep_sessions,
-# interval_overlap_pairs) land in the tail per the standing policy and
-# are certified by the local three-SF + scaled-tier sweeps.
+# is retired. The three round-11 additions (interval_join_sweep_sessions,
+# interval_overlap_pairs, q01_pricing_summary_exact) land in the tail
+# per the standing policy and are certified by the local three-SF +
+# scaled-tier sweeps.
 _TAIL = [
     # Round-11 additions (window frozen; certified by the local sweep).
     "interval_join_sweep_sessions",
     "interval_overlap_pairs",
+    "q01_pricing_summary_exact",
     # Round-11 rotation OUT: certified rows whose covers stay multiply
     # held after the 28 never-certified names move in-window.
     "union_distinct_nationkeys",

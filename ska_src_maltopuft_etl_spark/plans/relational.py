@@ -117,6 +117,66 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q01_pricing_summary_exact",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS sum_qty,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(38,2))
+                AS VARCHAR) AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))) AS DECIMAL(38,4))
+                AS VARCHAR) AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                         * CAST(1 - l_discount AS DECIMAL(4,2))
+                         * CAST(1 + l_tax AS DECIMAL(4,2))) AS DECIMAL(38,6))
+                AS VARCHAR) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    covers=("P1", "P4", "A2"),
+    description=(
+        "exact-ledger twin of q01: every money sum as an associative "
+        "DECIMAL with a fixed-scale STRING surface — the 3-factor "
+        "charge product has scale 6, whose scaled-integer sum exceeds "
+        "2^53 at the x100 tier, so (unlike the q03/q05/q10 family) "
+        "not even a decimal->double cast survives there; strings are "
+        "the only fully-exact surface at any tier. Averages are "
+        "omitted (derivable as sum/count; decimal division rounds "
+        "differently across engines)."
+    ),
+)
+def q01_pricing_summary_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow input casts keep every intermediate inside Spark's 38-digit
+    cap WITHOUT precision-loss rescaling: price decimal(12,2) x
+    (1-disc) decimal(4,2) -> (17,4); x (1+tax) decimal(4,2) -> (22,6);
+    sums widen to (38,s). With wide casts (18,2) the 3-factor product
+    would need precision 41 and Spark's allowPrecisionLoss would round
+    the scale away — the narrow casts are load-bearing, not cosmetic
+    (values bounded: price < 1e10, discount/tax in [0,1])."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(12,2)")
+    one_m_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(4,2)")
+    one_p_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(4,2)")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(12,2)"))
+            .cast("decimal(38,2)").cast("string").alias("sum_qty"),
+            F.sum(price).cast("decimal(38,2)").cast("string").alias("sum_base_price"),
+            F.sum(price * one_m_disc)
+            .cast("decimal(38,4)").cast("string").alias("sum_disc_price"),
+            F.sum(price * one_m_disc * one_p_tax)
+            .cast("decimal(38,6)").cast("string").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
     "q03_shipping_priority",
     oracle="""
     SELECT l.l_orderkey AS o_orderkey,
