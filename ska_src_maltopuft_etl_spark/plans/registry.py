@@ -142,14 +142,20 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # distinct driver-certified = 153/153 queries registered at rotation
 # time — every one driver-certified at least once; the rotation backlog
 # is retired. The three round-11 additions (interval_join_sweep_sessions,
-# interval_overlap_pairs, q01_pricing_summary_exact) land in the tail
-# per the standing policy and are certified by the local three-SF +
-# scaled-tier sweeps.
+# interval_overlap_pairs, q01_pricing_summary_exact) ALSO take window
+# slots — swapped in for three long-certified rows
+# (q03_shipping_priority r01+, triangle_count_copurchase,
+# ols_trend_daily r10) whose covers stay multiply held after the swap
+# (closure re-verified: zero orphaned §2 IDs, window stays 50). With
+# the swap the window carries 32 first-time-certifiable names and the
+# cumulative count after certification is 156/156 — no query ever
+# registered remains window-never-held.
 _TAIL = [
-    # Round-11 additions (window frozen; certified by the local sweep).
-    "interval_join_sweep_sessions",
-    "interval_overlap_pairs",
-    "q01_pricing_summary_exact",
+    # Round-11 swap OUT for the three round-11 additions (covers
+    # J1/P1/P4/A2/W6 all multiply held by remaining window rows).
+    "q03_shipping_priority",
+    "triangle_count_copurchase",
+    "ols_trend_daily",
     # Round-11 rotation OUT: certified rows whose covers stay multiply
     # held after the 28 never-certified names move in-window.
     "union_distinct_nationkeys",
