@@ -136,3 +136,51 @@ def test_transition_matrix_two_shuffles(spark):
     # must not add a third full shuffle of the transition table
     assert n_exchange <= 5, plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _exchanges(plan: str) -> int:
+    return sum(
+        1 for l in plan.splitlines() if l.strip().startswith("(") and ") Exchange" in l
+    )
+
+
+def test_sweep_join_one_shuffle_no_pair_join(spark):
+    plan = plan_of(spark, "interval_join_sweep_sessions")
+    # the whole point of the sweep: NO join node materializes
+    # probe x candidate pairs — one hash shuffle on (key, bucket),
+    # one sort, one linear Arrow pass
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert node not in plan, node
+    assert "MapInPandas" in plan
+    assert _exchanges(plan) == 1, plan
+    # null-key probes are routed AROUND the shuffle (union after)
+    assert "Union" in plan
+
+
+def test_overlap_join_single_equi_join_no_dedup(spark):
+    plan = plan_of(spark, "interval_overlap_pairs")
+    # dedup-free first-common-bucket: ONE equi join, no distinct /
+    # window repair stage afterwards, never a nested loop on the
+    # non-equi overlap residual
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") == 0 and "Window" not in plan
+    n_joins = sum(plan.count(j) for j in ("SortMergeJoinExec", "ShuffledHashJoin"))
+    assert ("BroadcastHashJoin" in plan) or n_joins >= 1
+    # both sides explode to bucket copies JVM-side
+    n_gen = sum(
+        1 for l in plan.splitlines()
+        if l.strip().startswith("(") and ") Generate" in l
+    )
+    assert n_gen == 2, plan
+
+
+def test_q01_exact_partial_agg_and_pushdown(spark):
+    plan = plan_of(spark, "q01_pricing_summary_exact")
+    # decimal ledger math must not break map-side partial aggregation
+    assert plan.count("HashAggregate") >= 2, plan
+    assert _exchanges(plan) == 1, plan
+    read = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_partkey" not in read
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters", 1)[1][:200]
