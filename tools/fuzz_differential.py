@@ -4,7 +4,9 @@
 The registry's 156 oracle queries pin HAND-PICKED plans. This tool
 pins the ENGINE SURFACE: it generates random-but-deterministic
 query specs from a small grammar (scan -> filters -> optional FK
-join -> project | distinct | group-aggregate [-> having]
+join (inner | left | semi | anti, the latter two rendered as
+(NOT) EXISTS on the SQL side to also pin subquery decorrelation) ->
+project | distinct | group-aggregate [-> having]
 [-> order+limit]), renders each spec TWICE — once through our
 DataFrame-building code path, once as ANSI SQL for DuckDB — and
 compares row count, schema, and the driver's order-insensitive
@@ -189,9 +191,13 @@ def gen_pred(rng: random.Random, t: str, stats: dict) -> dict | None:
 
 
 def gen_spec(rng: random.Random, stats: dict) -> dict:
-    join = rng.choice(JOINS) if rng.random() < 0.35 else None
+    join = rng.choice(JOINS) if rng.random() < 0.4 else None
+    how = "inner"
+    if join:
+        # semi/anti keep only left columns; left null-extends the right
+        how = rng.choice(["inner", "inner", "left", "semi", "anti"])
     t = join[0] if join else rng.choice(sorted(TABLES))
-    tables = [t] + ([join[1]] if join else [])
+    tables = [t] + ([join[1]] if join and how in ("inner", "left") else [])
     preds = []
     for _ in range(rng.randint(0, 3)):
         pt = rng.choice(tables)
@@ -206,7 +212,7 @@ def gen_spec(rng: random.Random, stats: dict) -> dict:
         preds = [{"k": "or", "a": a, "b": b}] + preds[2:]
 
     kind = rng.choice(["project", "project", "distinct", "agg", "agg", "agg"])
-    spec = {"table": t, "join": join, "preds": preds, "kind": kind}
+    spec = {"table": t, "join": join, "join_how": how, "preds": preds, "kind": kind}
     all_strs = [c for x in tables for c in TABLES[x]["strs"]]
     all_ints = [c for x in tables for c in TABLES[x]["ints"]]
 
@@ -400,7 +406,9 @@ def build_spark(spec: dict, tables: dict) -> DataFrame:
     df = tables[spec["table"]]
     if spec["join"]:
         _, rt, lk, rk = spec["join"]
-        df = df.join(tables[rt], F.col(lk) == F.col(rk), "inner")
+        how = {"inner": "inner", "left": "left",
+               "semi": "left_semi", "anti": "left_anti"}[spec.get("join_how", "inner")]
+        df = df.join(tables[rt], F.col(lk) == F.col(rk), how)
     for p in spec["preds"]:
         df = df.filter(pred_spark(p))
     kind = spec["kind"]
@@ -430,12 +438,20 @@ def build_spark(spec: dict, tables: dict) -> DataFrame:
 def build_sql(spec: dict) -> str:
     t = spec["table"]
     frm = t
+    conds = [f"({pred_sql(p)})" for p in spec["preds"]]
     if spec["join"]:
         _, rt, lk, rk = spec["join"]
-        frm = f"{t} JOIN {rt} ON {t}.{lk} = {rt}.{rk}"
-    where = ""
-    if spec["preds"]:
-        where = " WHERE " + " AND ".join(f"({pred_sql(p)})" for p in spec["preds"])
+        how = spec.get("join_how", "inner")
+        if how == "inner":
+            frm = f"{t} JOIN {rt} ON {t}.{lk} = {rt}.{rk}"
+        elif how == "left":
+            frm = f"{t} LEFT JOIN {rt} ON {t}.{lk} = {rt}.{rk}"
+        else:  # semi / anti via (NOT) EXISTS — the decorrelated twin
+            neg = "NOT " if how == "anti" else ""
+            conds.append(
+                f"{neg}EXISTS (SELECT 1 FROM {rt} WHERE {rt}.{rk} = {t}.{lk})"
+            )
+    where = f" WHERE {' AND '.join(conds)}" if conds else ""
     kind = spec["kind"]
     if kind == "distinct":
         return f"SELECT DISTINCT {', '.join(spec['cols'])} FROM {frm}{where}"
@@ -497,7 +513,10 @@ def main() -> int:
     args = sys.argv[1:]
     sf_dir = args[0] if args and not args[0].startswith("-") else "/root/testdata/sf0.01"
     n = int(args[args.index("--n") + 1]) if "--n" in args else 300
-    seed = int(args[args.index("--seed") + 1]) if "--seed" in args else 11
+    if "--seeds" in args:
+        seeds = [int(s) for s in args[args.index("--seeds") + 1].split(",")]
+    else:
+        seeds = [int(args[args.index("--seed") + 1]) if "--seed" in args else 11]
 
     spark = get_spark(app_name="fuzz", conf={"spark.ui.enabled": "false"})
     tables = load_tables(spark, sf_dir)
@@ -510,22 +529,26 @@ def main() -> int:
 
     failures = []
     t0 = time.time()
-    for i in range(n):
-        rng = random.Random(seed * 1_000_003 + i)
-        spec = gen_spec(rng, stats)
-        try:
-            fail = run_case(spec, tables, con)
-        except Exception as exc:  # engine error is a finding too
-            fail = {"spec": spec, "sql": build_sql(spec), "error": repr(exc)[:500]}
-        if fail:
-            failures.append({"case": i, **fail})
-            print(f"FAIL case {i}: {json.dumps(fail)[:400]}")
-        if (i + 1) % 50 == 0:
-            print(f"  {i + 1}/{n} cases, {len(failures)} failures,"
-                  f" {time.time() - t0:.0f}s")
+    total = 0
+    for seed in seeds:
+        for i in range(n):
+            total += 1
+            rng = random.Random(seed * 1_000_003 + i)
+            spec = gen_spec(rng, stats)
+            try:
+                fail = run_case(spec, tables, con)
+            except Exception as exc:  # engine error is a finding too
+                fail = {"spec": spec, "sql": build_sql(spec),
+                        "error": repr(exc)[:500]}
+            if fail:
+                failures.append({"seed": seed, "case": i, **fail})
+                print(f"FAIL seed {seed} case {i}: {json.dumps(fail)[:400]}")
+            if (i + 1) % 50 == 0:
+                print(f"  seed {seed}: {i + 1}/{n} cases,"
+                      f" {len(failures)} failures, {time.time() - t0:.0f}s")
     out = {
-        "seed": seed,
-        "cases": n,
+        "seeds": seeds,
+        "cases": total,
         "sf_dir": sf_dir,
         "failures": failures,
         "elapsed_sec": round(time.time() - t0, 1),
@@ -533,7 +556,7 @@ def main() -> int:
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "FUZZ.json"), "w") as f:
         json.dump(out, f, indent=1)
-    print(f"\n{n} cases, {len(failures)} failures ({out['elapsed_sec']}s)")
+    print(f"\n{total} cases, {len(failures)} failures ({out['elapsed_sec']}s)")
     spark.stop()
     return 1 if failures else 0
 
