@@ -46,18 +46,34 @@ def main() -> int:
     skew = args[args.index("--skew") + 1] if "--skew" in args else None
     if skew not in (None, "zipf"):
         sys.exit(f"unknown --skew mode: {skew!r} (supported: zipf)")
+    resume = "--resume" in args
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     con.execute(f"SET threads TO {os.cpu_count() or 8}")
+    # Stream the COPY instead of materializing it: with order
+    # preservation ON (the default), DuckDB buffers the ENTIRE result
+    # before the first byte hits disk — at rep=1000 the lineitem COPY
+    # held >90 GB RSS with a 0-byte output file before this was turned
+    # off, vs a flat footprint streaming. Row ORDER in the scaled tier
+    # is therefore nondeterministic (parallel writers), but every
+    # CONSUMER of these tiers is order-insensitive (value-hash oracles
+    # sort rows; the engine's own semantics never depend on file
+    # order), and CONTENT stays exactly reproducible.
+    con.execute("SET preserve_insertion_order=false")
+    con.execute(f"SET temp_directory='{out}/.duckdb_tmp'")
 
     def src(t: str) -> str:
         return f"read_parquet('{base}/{t}.parquet')"
 
     def copy(sql: str, t: str) -> None:
+        path = f"{out}/{t}.parquet"
+        if resume and os.path.exists(path) and os.path.getsize(path) > 0:
+            print(f"{t}: exists, skipped (--resume)")
+            return
         con.execute(
-            f"COPY ({sql}) TO '{out}/{t}.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)"
+            f"COPY ({sql}) TO '{path}' (FORMAT PARQUET, COMPRESSION ZSTD)"
         )
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{out}/{t}.parquet')").fetchone()[0]
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
         print(f"{t}: {n} rows")
 
     def dom(t: str, k: str) -> int:
