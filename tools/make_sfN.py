@@ -197,6 +197,11 @@ def apply_zipf(con, out: str) -> None:
     events.user_id (as-of / interval / session family). Dims untouched.
     """
     u64 = "1.8446744073709552e19"
+    # Write to a sidecar then rename: these COPYs READ the file they
+    # replace, which was only safe while COPY materialized its whole
+    # input before opening the output — with streaming COPY
+    # (preserve_insertion_order=false) an in-place rewrite would
+    # truncate the scan's own source.
     con.execute(
         f"""
         COPY (
@@ -213,9 +218,10 @@ def apply_zipf(con, out: str) -> None:
             FROM read_parquet('{out}/lineitem.parquet'))
           SELECT li.* EXCLUDE (__rnk) REPLACE (ok.key AS l_orderkey)
           FROM li JOIN ok ON ok.rn = li.__rnk
-        ) TO '{out}/lineitem.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
+        ) TO '{out}/lineitem.zipf.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
         """
     )
+    os.replace(f"{out}/lineitem.zipf.parquet", f"{out}/lineitem.parquet")
     con.execute(
         f"""
         COPY (
@@ -233,9 +239,10 @@ def apply_zipf(con, out: str) -> None:
             FROM read_parquet('{out}/events.parquet'))
           SELECT ev.* EXCLUDE (__rnk) REPLACE (uk.key AS user_id)
           FROM ev JOIN uk ON uk.rn = ev.__rnk
-        ) TO '{out}/events.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
+        ) TO '{out}/events.zipf.parquet' (FORMAT PARQUET, COMPRESSION ZSTD)
         """
     )
+    os.replace(f"{out}/events.zipf.parquet", f"{out}/events.parquet")
     for t, k in (("lineitem", "l_orderkey"), ("events", "user_id")):
         mx, mean = con.execute(
             f"SELECT max(c), avg(c) FROM (SELECT count(*) AS c "
