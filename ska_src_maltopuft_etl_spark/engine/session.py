@@ -30,7 +30,16 @@ _DEFAULTS: dict[str, str] = {
     # reference schema (sb/obs/beam/host) and the test star schema
     # (region/nation/supplier) are broadcast-sized.
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
-    "spark.sql.shuffle.partitions": "32",
+    # Shuffle parallelism must scale with the tier: 32 is right for the
+    # test SFs (one wave on local[32], AQE coalesces below it), but at
+    # the ×1000 tier a 48-partition sort put ~37M post-explode rows in
+    # ONE task's sorter and OOM'd a 48g heap (salted_join's 8× build
+    # replication, stage 56). On a real cluster this is sized to
+    # ~128-200MB per partition; the env var lets the scale harness
+    # provision per tier the same way SPARK_GRAFT_DRIVER_MEM does.
+    "spark.sql.shuffle.partitions": os.environ.get(
+        "SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"
+    ),
     # local mode: the driver JVM IS the executor; the 1g default heap
     # GC-thrashes under 32 task threads. Must be set before JVM launch.
     # 16g/32 slots ≈ 0.3 GB execution memory per task — enough for the

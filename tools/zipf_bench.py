@@ -160,6 +160,11 @@ def main() -> int:
     with open(os.path.join(REPO, out_name), "w") as f:
         json.dump({"zipf_tier": zipf, "uniform_tier": uniform,
                    "rounds": rounds, "ab_only": ab_only,
+                   # tier provisioning (the ×1000 lesson: partition
+                   # count is part of the measurement, not ambience)
+                   "driver_mem": spark.conf.get("spark.driver.memory"),
+                   "shuffle_partitions": spark.conf.get(
+                       "spark.sql.shuffle.partitions"),
                    "results": results}, f, indent=1)
     print(f"wrote {out_name}", flush=True)
     return 0
