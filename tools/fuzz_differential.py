@@ -211,7 +211,9 @@ def gen_spec(rng: random.Random, stats: dict) -> dict:
         a, b = preds[0], preds[1]
         preds = [{"k": "or", "a": a, "b": b}] + preds[2:]
 
-    kind = rng.choice(["project", "project", "distinct", "agg", "agg", "agg"])
+    kind = rng.choice(
+        ["project", "project", "distinct", "agg", "agg", "agg", "window", "window"]
+    )
     spec = {"table": t, "join": join, "join_how": how, "preds": preds, "kind": kind}
     all_strs = [c for x in tables for c in TABLES[x]["strs"]]
     all_ints = [c for x in tables for c in TABLES[x]["ints"]]
@@ -219,6 +221,39 @@ def gen_spec(rng: random.Random, stats: dict) -> dict:
     if kind == "distinct":
         pool = all_strs + [c for x in tables for c in TABLES[x]["ints"][1:]]
         spec["cols"] = sorted(rng.sample(pool, rng.randint(1, min(2, len(pool)))))
+        return spec
+
+    if kind == "window":
+        # Window semantics pinned: row_number/rank need a TOTAL order
+        # within the partition (ties = identical full rows, so any
+        # tie-break yields the same multiset); cumulative sums use the
+        # default frame — RANGE UNBOUNDED PRECEDING..CURRENT ROW, which
+        # includes PEERS, so equal sort keys must aggregate together
+        # identically in both engines; running FP sums are excluded
+        # (order-dependent accumulation), integer sums only.
+        part = rng.choice(all_strs)
+        base = {part}
+        base.update(rng.sample(all_ints, min(len(all_ints), rng.randint(1, 2))))
+        if rng.random() < 0.4:
+            base.update(rng.sample(all_strs, 1))
+        spec["cols"] = sorted(base)
+        spec["part_col"] = part
+        pool = ["row_number", "rank", "dense_rank", "lag", "psum", "csum"]
+        picks = rng.sample(pool, rng.randint(1, 3))
+        wexprs = []
+        sums = [c for x in tables for c in TABLES[x]["sum_ok"]]
+        for p in sorted(set(picks)):
+            if p in ("row_number", "rank", "dense_rank"):
+                wexprs.append({"k": p, "name": f"w_{p}"})
+            elif p == "lag":
+                c = rng.choice(sorted(base))
+                wexprs.append({"k": "lag", "name": "w_lag", "col": c})
+            elif p in ("psum", "csum") and sums:
+                c = rng.choice(sums)
+                wexprs.append({"k": p, "name": f"w_{p}", "col": c})
+        if not wexprs:
+            wexprs = [{"k": "row_number", "name": "w_row_number"}]
+        spec["wexprs"] = wexprs
         return spec
 
     if kind == "project":
@@ -414,6 +449,28 @@ def build_spark(spec: dict, tables: dict) -> DataFrame:
     kind = spec["kind"]
     if kind == "distinct":
         return df.select(*spec["cols"]).distinct()
+    if kind == "window":
+        from pyspark.sql.window import Window
+
+        order = [F.col(c).asc_nulls_first() for c in spec["cols"]]
+        w_ord = Window.partitionBy(spec["part_col"]).orderBy(*order)
+        w_all = Window.partitionBy(spec["part_col"])
+        exprs = [F.col(c) for c in spec["cols"]]
+        for w in spec["wexprs"]:
+            k, name = w["k"], w["name"]
+            if k == "row_number":
+                exprs.append(F.row_number().over(w_ord).alias(name))
+            elif k == "rank":
+                exprs.append(F.rank().over(w_ord).alias(name))
+            elif k == "dense_rank":
+                exprs.append(F.dense_rank().over(w_ord).alias(name))
+            elif k == "lag":
+                exprs.append(F.lag(F.col(w["col"]), 1).over(w_ord).alias(name))
+            elif k == "psum":
+                exprs.append(F.sum(F.col(w["col"])).over(w_all).alias(name))
+            elif k == "csum":
+                exprs.append(F.sum(F.col(w["col"])).over(w_ord).alias(name))
+        return df.select(*exprs)
     if kind == "project":
         exprs = [F.col(c) for c in spec["cols"]]
         exprs += [computed_spark(c) for c in spec.get("computed", [])]
@@ -455,6 +512,25 @@ def build_sql(spec: dict) -> str:
     kind = spec["kind"]
     if kind == "distinct":
         return f"SELECT DISTINCT {', '.join(spec['cols'])} FROM {frm}{where}"
+    if kind == "window":
+        order = ", ".join(f"{c} ASC NULLS FIRST" for c in spec["cols"])
+        over_ord = f"OVER (PARTITION BY {spec['part_col']} ORDER BY {order})"
+        over_all = f"OVER (PARTITION BY {spec['part_col']})"
+        sel = list(spec["cols"])
+        for w in spec["wexprs"]:
+            k, name = w["k"], w["name"]
+            if k in ("row_number", "rank", "dense_rank"):
+                # Spark's rank funcs return INT, DuckDB's BIGINT; value-
+                # canon is str(int) so no cast needed for the hash, but
+                # keep BIGINT explicit for schema readers.
+                sel.append(f"{k.upper()}() {over_ord} AS {name}")
+            elif k == "lag":
+                sel.append(f"LAG({w['col']}, 1) {over_ord} AS {name}")
+            elif k == "psum":
+                sel.append(f"CAST(SUM({w['col']}) {over_all} AS BIGINT) AS {name}")
+            elif k == "csum":
+                sel.append(f"CAST(SUM({w['col']}) {over_ord} AS BIGINT) AS {name}")
+        return f"SELECT {', '.join(sel)} FROM {frm}{where}"
     if kind == "project":
         sel = list(spec["cols"]) + [computed_sql(c) for c in spec.get("computed", [])]
         q = f"SELECT {', '.join(sel)} FROM {frm}{where}"
