@@ -34,7 +34,7 @@ cross-engine boundary, learned from rounds 1-11):
 - integer SUM overflows BIGINT differently per engine -> sums are
   restricted to columns whose max * rowcount fits comfortably.
 
-Usage: python tools/fuzz_differential.py [sf_dir] [--n N] [--seed S]
+Usage: python tools/fuzz_differential.py [sf_dir] [--n N] [--seed S | --seeds A,B,...] [--out FILE]
 Writes FUZZ.json at the repo root; exit 1 on any mismatch.
 """
 
@@ -630,7 +630,8 @@ def main() -> int:
         "elapsed_sec": round(time.time() - t0, 1),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, "FUZZ.json"), "w") as f:
+    out_name = args[args.index("--out") + 1] if "--out" in args else "FUZZ.json"
+    with open(os.path.join(root, out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{total} cases, {len(failures)} failures ({out['elapsed_sec']}s)")
     spark.stop()
