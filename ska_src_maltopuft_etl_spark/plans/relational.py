@@ -463,7 +463,9 @@ def interval_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bucketized interval join (time axis in the shuffle key): same "
         "semantics + oracle as interval_join_sessions, but a plain "
         "equi-join on (user, day-bucket) with the containment residual — "
-        "the non-broadcastable / hot-key formulation"
+        "the non-broadcastable / hot-key formulation (force_pairwise: "
+        "kept as the measured ALL-pairs baseline exhibit; plain "
+        "tie_break calls auto-delegate to interval_join_sweep)"
     ),
 )
 def interval_join_bucketed_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,6 +489,10 @@ def interval_join_bucketed_sessions(spark: SparkSession, sf_dir: str) -> DataFra
         how="left",
         tie_break="session_start",
         tie_break_desc=True,
+        # Deliberate: this registry entry IS the pair-join exhibit the
+        # skew benches A/B against the sweep; without this flag the
+        # tie_break guard would silently delegate and erase the baseline.
+        force_pairwise=True,
     )
     return out.select(
         "event_id", F.unix_micros("session_start").alias("session_start_us")

@@ -354,7 +354,7 @@ def test_interval_join_bucketed_matches_plain(spark):
     )
     plain = interval_join(clicks, sessions, broadcast_right=False, **kwargs)
     bucketed = interval_join_bucketed(
-        clicks, sessions, bucket_width_s=86400, **kwargs
+        clicks, sessions, bucket_width_s=86400, force_pairwise=True, **kwargs
     )
     key = lambda r: (r["event_id"], r["session_start"])  # noqa: E731
     assert sorted(map(key, plain.collect())) == sorted(
@@ -364,6 +364,60 @@ def test_interval_join_bucketed_matches_plain(spark):
     with contextlib.redirect_stdout(buf):
         bucketed.explain("formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_interval_join_bucketed_tie_break_delegates_to_sweep(spark):
+    """The tie_break foot-gun guard (round-11 VERDICT #1): a bucketed
+    call with a tie_break warns and routes to interval_join_sweep —
+    same rows, but the plan is the sweep's (ZERO join nodes, one
+    MapInPandas) instead of the pair-materializing equi-join."""
+    import contextlib
+    import io
+    import warnings
+
+    from ska_src_maltopuft_etl_spark.operators.joins import (
+        interval_join_bucketed,
+    )
+    from ska_src_maltopuft_etl_spark.sources import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    sessions = ev.where(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("session_start"),
+        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    )
+    kwargs = dict(
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        bucket_width_s=86400,
+        by=["user_id"],
+        how="left",
+        tie_break="session_start",
+        tie_break_desc=True,
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        delegated = interval_join_bucketed(clicks, sessions, **kwargs)
+    assert any("interval_join_sweep" in str(w.message) for w in caught)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        pairwise = interval_join_bucketed(
+            clicks, sessions, force_pairwise=True, **kwargs
+        )
+    key = lambda r: (r["event_id"], r["session_start"])  # noqa: E731
+    assert sorted(map(key, delegated.collect())) == sorted(
+        map(key, pairwise.collect())
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        delegated.explain("formatted")
+    plan = buf.getvalue()
+    assert "MapInPandas" in plan
+    assert "Join" not in plan.replace("MapInPandas", "")
 
 
 def test_interval_union_sweep_line_matches_python_model(spark):

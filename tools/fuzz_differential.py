@@ -280,7 +280,6 @@ def gen_spec(rng: random.Random, stats: dict) -> dict:
         return spec
 
     # aggregate
-    gpool = all_strs + [c for x in tables for c in (TABLES[x]["strs"] or [])]
     gcols = sorted(set(rng.sample(all_strs, rng.randint(0, min(2, len(all_strs))))))
     if rng.random() < 0.25 and all_ints:
         spec["group_mod"] = {"col": rng.choice(all_ints), "m": rng.choice([7, 10, 13])}
@@ -300,10 +299,19 @@ def gen_spec(rng: random.Random, stats: dict) -> dict:
         aggs.append({"k": rng.choice(["min", "max"]), "name": f"mm_{c}", "col": c})
     if tss and rng.random() < 0.4:
         c = rng.choice(tss)
-        aggs.append({"k": rng.choice(["min", "max"]), "name": f"mmts_{c}", "col": c})
+        aggs.append(
+            {"k": rng.choice(["mints", "maxts"]), "name": f"mmts_{c}", "col": c}
+        )
     if all_ints and rng.random() < 0.4:
         c = rng.choice(all_ints)
         aggs.append({"k": "cntd", "name": f"nd_{c}", "col": c})
+    # COUNT(col) null-skipping: meaningfully different from COUNT(*)
+    # only when the column can be NULL — i.e. right-table columns under
+    # a LEFT join — but pinning the identical-when-not-null case is
+    # cheap and the left-join case is the real target.
+    if all_ints and rng.random() < 0.3:
+        c = rng.choice(all_ints)
+        aggs.append({"k": "cntcol", "name": f"nc_{c}", "col": c})
     spec["aggs"] = aggs
     if gcols and rng.random() < 0.3:
         spec["having_min_rows"] = rng.randint(2, 50)
@@ -404,6 +412,14 @@ def agg_spark(a: dict):
         return F.min(c).alias(name)
     if k == "max":
         return F.max(c).alias(name)
+    # timestamp min/max surface as epoch micros, never raw objects:
+    # non-Arrow collect() localizes TimestampType via the OS timezone
+    # (not spark.sql.session.timeZone), so a raw object in frame_hash
+    # would falsely diverge from DuckDB's naive UTC on non-UTC hosts.
+    if k == "mints":
+        return F.unix_micros(F.min(c)).alias(name)
+    if k == "maxts":
+        return F.unix_micros(F.max(c)).alias(name)
     if k == "sumint":
         return F.sum(c).alias(name)
     if k == "summoney":
@@ -427,6 +443,8 @@ def agg_sql(a: dict) -> str:
         return f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS {name}"
     if k in ("min", "max"):
         return f"{k.upper()}({c}) AS {name}"
+    if k in ("mints", "maxts"):
+        return f"CAST(epoch_us({k[:3].upper()}({c})) AS BIGINT) AS {name}"
     if k == "sumint":
         return f"CAST(SUM({c}) AS BIGINT) AS {name}"
     if k == "summoney":

@@ -70,10 +70,20 @@ def main() -> int:
         if resume and os.path.exists(path) and os.path.getsize(path) > 0:
             print(f"{t}: exists, skipped (--resume)")
             return
+        # Stage through a sidecar and os.replace() on success (same
+        # pattern as apply_zipf): COPY streams straight to disk, so a
+        # run killed mid-COPY would otherwise leave a truncated file
+        # that a later --resume silently accepts as complete.
+        tmp = f"{out}/{t}.tmp.parquet"
         con.execute(
-            f"COPY ({sql}) TO '{path}' (FORMAT PARQUET, COMPRESSION ZSTD)"
+            f"COPY ({sql}) TO '{tmp}' (FORMAT PARQUET, COMPRESSION ZSTD)"
         )
-        n = con.execute(f"SELECT count(*) FROM read_parquet('{path}')").fetchone()[0]
+        n = con.execute(f"SELECT count(*) FROM read_parquet('{tmp}')").fetchone()[0]
+        os.replace(tmp, path)
+        # A fresh copy invalidates any prior zipf rewrite of this table.
+        marker = _zipf_marker(out, t)
+        if os.path.exists(marker):
+            os.remove(marker)
         print(f"{t}: {n} rows")
 
     def dom(t: str, k: str) -> int:
@@ -181,6 +191,17 @@ def main() -> int:
     return 0
 
 
+def _zipf_marker(out: str, t: str) -> str:
+    """Sidecar recording that table ``t`` already got its zipf rewrite.
+
+    Makes the skew step idempotent under --resume: re-applying the
+    rank/hash rewrite to already-zipf keys would silently change the
+    distribution vs a fresh run. copy() clears the marker whenever it
+    rewrites the table, so only a genuinely-current rewrite is skipped.
+    """
+    return f"{out}/.zipf_done_{t}"
+
+
 def apply_zipf(con, out: str) -> None:
     """Rewrite the fact-side join keys to a Zipf-like (log-uniform rank)
     distribution (round-10 VERDICT item #8): real 100 TB key frequencies
@@ -202,6 +223,23 @@ def apply_zipf(con, out: str) -> None:
     # input before opening the output — with streaming COPY
     # (preserve_insertion_order=false) an in-place rewrite would
     # truncate the scan's own source.
+    if os.path.exists(_zipf_marker(out, "lineitem")):
+        print("zipf lineitem: already skewed, skipped")
+    else:
+        _zipf_lineitem(con, out, u64)
+    if os.path.exists(_zipf_marker(out, "events")):
+        print("zipf events: already skewed, skipped")
+    else:
+        _zipf_events(con, out, u64)
+    for t, k in (("lineitem", "l_orderkey"), ("events", "user_id")):
+        mx, mean = con.execute(
+            f"SELECT max(c), avg(c) FROM (SELECT count(*) AS c "
+            f"FROM read_parquet('{out}/{t}.parquet') GROUP BY {k})"
+        ).fetchone()
+        print(f"zipf {t}.{k}: hottest key {mx} rows vs mean {mean:.1f}")
+
+
+def _zipf_lineitem(con, out: str, u64: str) -> None:
     con.execute(
         f"""
         COPY (
@@ -222,6 +260,10 @@ def apply_zipf(con, out: str) -> None:
         """
     )
     os.replace(f"{out}/lineitem.zipf.parquet", f"{out}/lineitem.parquet")
+    open(_zipf_marker(out, "lineitem"), "w").close()
+
+
+def _zipf_events(con, out: str, u64: str) -> None:
     con.execute(
         f"""
         COPY (
@@ -243,12 +285,7 @@ def apply_zipf(con, out: str) -> None:
         """
     )
     os.replace(f"{out}/events.zipf.parquet", f"{out}/events.parquet")
-    for t, k in (("lineitem", "l_orderkey"), ("events", "user_id")):
-        mx, mean = con.execute(
-            f"SELECT max(c), avg(c) FROM (SELECT count(*) AS c "
-            f"FROM read_parquet('{out}/{t}.parquet') GROUP BY {k})"
-        ).fetchone()
-        print(f"zipf {t}.{k}: hottest key {mx} rows vs mean {mean:.1f}")
+    open(_zipf_marker(out, "events"), "w").close()
 
 
 if __name__ == "__main__":
