@@ -89,6 +89,20 @@ def asof_join(
     # visible to left rows. With allow_exact_matches=False, invert.
     r_marker, l_marker = (0, 1) if allow_exact_matches else (1, 0)
 
+    # Equi-join NULL semantics (round-12 fuzz hardening): a right row
+    # with a NULL event time or NULL by-key can never be "the nearest
+    # right row" — drop them before the union, else they sort first in
+    # the group (nulls-first) and their payload propagates as a bogus
+    # match to every probe before the first real right row. Left rows
+    # with NULL keys/times stay (left-join semantics: NULL match) —
+    # with rights filtered, their group holds no rights, and the
+    # nulls-FIRST placement below makes NULL-time left rows see zero
+    # rights in both directions.
+    right_ok = F.col(right_on).isNotNull()
+    for k in by:
+        right_ok = right_ok & F.col(k).isNotNull()
+    right = right.where(right_ok)
+
     r_tagged = right.select(
         *[F.col(c) for c in by],
         F.col(right_on).alias("__t"),
@@ -114,7 +128,15 @@ def asof_join(
     # times first, so "last right seen so far" is the SMALLEST
     # right_on >= left_on. The marker still orders right before left
     # at equal times (exact-match semantics unchanged).
-    t_order = F.col("__t") if direction == "backward" else F.col("__t").desc()
+    # nulls FIRST in both directions: a NULL-time left row must be
+    # processed before ANY right row so it accumulates no match
+    # (Spark's desc default is NULLS LAST, which would hand it the
+    # final right row of the scan).
+    t_order = (
+        F.col("__t").asc_nulls_first()
+        if direction == "backward"
+        else F.col("__t").desc_nulls_first()
+    )
     order = [t_order, F.col("__m")]
     # equal-time right rows: greatest tiebreak sorts last → wins last().
     order += [F.col(f"__rpayload.{c}").asc_nulls_first() for c in right_tiebreak]
@@ -509,7 +531,17 @@ def interval_join_sweep(
     desc = tie_break_desc
 
     class _Rev:
-        """Inverts comparison so heapq (a min-heap) pops the MAX."""
+        """Inverts comparison so heapq (a min-heap) pops the MAX.
+
+        ``__eq__`` is required, not optional: tuple comparison consults
+        it before ``__lt__``, and the default identity-``__eq__`` made
+        equal tie-break values look UNEQUAL, so heap ordering
+        short-circuited at the _Rev element and never fell through to
+        the -start/-end tie policy (round-12 interval fuzzer finding:
+        desc-ordered equal-tb intervals picked an arbitrary winner
+        instead of the documented greatest-start one; asc ordering uses
+        the raw value and was always correct).
+        """
 
         __slots__ = ("v",)
 
@@ -518,6 +550,9 @@ def interval_join_sweep(
 
         def __lt__(self, other):
             return other.v < self.v
+
+        def __eq__(self, other):
+            return self.v == other.v
 
     def sweep(batches):
         import heapq

@@ -68,6 +68,38 @@ def test_asof_backward_no_exact(spark, obs):
     assert out.first()["beam_id"] == 101
 
 
+def test_asof_null_semantics(spark):
+    """Equi-join NULL rules (round-12 fuzz hardening): NULL right event
+    times / by-keys never match anything; NULL left event times and
+    by-keys come back with a NULL match in BOTH directions (previously
+    forward's desc NULLS LAST handed a NULL-time probe the min-rt
+    right row, and NULL keys/times on the right propagated as bogus
+    matches to early probes)."""
+    import datetime as dt
+
+    from ska_src_maltopuft_etl_spark.operators.joins import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, 1, T(100)), (2, 1, None), (3, None, T(100))],
+        "lid long, k long, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, 1, None), (11, 1, T(500)), (12, None, T(50))],
+        "rid long, k long, rt timestamp",
+    )
+    back = asof_join(left, right, left_on="t", right_on="rt", by=["k"])
+    assert sorted((r["lid"], r["rid"]) for r in back.collect()) == [
+        (1, None), (2, None), (3, None)
+    ]
+    fwd = asof_join(
+        left, right, left_on="t", right_on="rt", by=["k"], direction="forward"
+    )
+    assert sorted((r["lid"], r["rid"]) for r in fwd.collect()) == [
+        (1, 11), (2, None), (3, None)
+    ]
+
+
 def test_asof_tolerance(spark, obs):
     cand = spark.createDataFrame(
         [(1, True, ts("2023-11-20 21:30:00"), "a")],

@@ -100,6 +100,11 @@ def main() -> int:
     ab_only = "--ab-only" in args
     if ab_only:
         args.remove("--ab-only")
+    flagships = None  # None = the default battery below
+    if "--flagships" in args:
+        i = args.index("--flagships")
+        flagships = args[i + 1].split(",")
+        del args[i : i + 2]
     out_name = "ZIPF_SKEW.json"
     if "--out" in args:
         i = args.index("--out")
@@ -130,8 +135,10 @@ def main() -> int:
 
     # --- the sort-merge-join A/B: AQE skew-split vs salting ----------
     # broadcast disabled so the shuffle join actually happens (at 100 TB
-    # neither side of a fact-fact join broadcasts).
-    for tier, tag in ((uniform, "uniform"), (zipf, "zipf")):
+    # neither side of a fact-fact join broadcasts). Skipped when an
+    # explicit --flagships list asks for a targeted flagship-only run.
+    for tier, tag in () if flagships is not None else (
+        (uniform, "uniform"), (zipf, "zipf")):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
         record(kind="join_ab", tier=tag, config="plain_no_skewfix",
@@ -144,14 +151,18 @@ def main() -> int:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     # --- flagship family under the session default, uniform vs zipf --
-    for name in () if ab_only else (
+    default_battery = (
         "asof_join_forward_next_action",
         "interval_join_bucketed_sessions",
         "interval_join_asof_sessions",
         "interval_join_sweep_sessions",
+        "interval_overlap_pairs",
         "bloom_pruned_semi_join",
         "salted_join_revenue",
-    ):
+    )
+    if flagships is None:
+        flagships = () if ab_only else default_battery
+    for name in flagships:
         fn = QUERIES[name].fn
         for tier, tag in ((uniform, "uniform"), (zipf, "zipf")):
             record(kind="flagship", tier=tag, query=name,
