@@ -235,6 +235,11 @@ def main() -> int:
         i = args.index("--blocks")
         blocks = int(args[i + 1])
         del args[i : i + 2]
+    only = None  # substring filter: run only matching certificates
+    if "--only" in args:
+        i = args.index("--only")
+        only = args[i + 1]
+        del args[i : i + 2]
     tier = args[0] if args else "/tmp/sparkgraft_sf1"
     if not os.path.exists(os.path.join(tier, "events.parquet")):
         sys.exit(f"events table not found in {tier} (run tools/make_sfN.py first)")
@@ -270,6 +275,14 @@ def main() -> int:
             flush=True,
         )
         schema = spark.read.parquet(stage).schema
+        band_s = 300
+        ev_b = spark.read.parquet(stage).withColumn(
+            "ts", F.col("ts").cast("timestamp")
+        )
+
+        def want(name: str) -> bool:
+            return only is None or only in name
+
 
         def sessions_stream():
             return sessionize_events(
@@ -278,186 +291,186 @@ def main() -> int:
                 watermark=WATERMARK,
             ).withColumn("total_value", F.round("total_value", 4))
 
-        # --- certificate 1: sessionize, streaming == batch twin -------
-        t0 = time.time()
-        run_to_memory(spark, sessions_stream(), "equiv_sessions")
-        n_s, h_s = hash_df(spark.sql("SELECT * FROM equiv_sessions"))
-        n_b, h_b = hash_df(batch_sessions(spark, stage, info["ts_max_us"]))
-        record(
-            "sessionize_stream_vs_batch",
-            (n_s, h_s) == (n_b, h_b),
-            n_s,
-            h_s,
-            f"(batch twin rows={n_b} hash={h_b}; {time.time() - t0:.0f}s)",
-        )
-
-        # --- certificate 2: kill + restart from RocksDB checkpoint ----
-        t0 = time.time()
-        spark.conf.set(
-            "spark.sql.streaming.stateStore.providerClass",
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
-        )
-        sink_dir = tempfile.mkdtemp(prefix="equiv_sink_")
-        ckpt = tempfile.mkdtemp(prefix="equiv_ckpt_")
-        work += [sink_dir, ckpt]
-        meta = run_with_kill_restart(
-            spark, sessions_stream, sink_dir, ckpt, kill_after=blocks // 2
-        )
-        n_r, h_r = hash_df(spark.read.schema(
-            spark.sql("SELECT * FROM equiv_sessions").schema
-        ).parquet(sink_dir))
-        record(
-            "sessionize_restart_recovery",
-            (n_r, h_r) == (n_s, h_s) and meta["restarted"],
-            n_r,
-            h_r,
-            f"(killed at batch {meta['killed_at_batch']}, restarted="
-            f"{meta['restarted']}, rocksdb state; {time.time() - t0:.0f}s)",
-        )
-        results[-1].update(meta)
-
-        # --- certificate 3: watermark dedup, streaming == batch -------
-        t0 = time.time()
-        deduped = stream_with_watermark_dedup(
-            load_stream(spark, stage, schema), "ts", ["event_id"], watermark=WATERMARK
-        )
-        run_to_memory(spark, deduped, "equiv_dedup")
-        n_d, h_d = hash_df(spark.sql("SELECT * FROM equiv_dedup"))
-        twin = (
-            spark.read.parquet(stage)
-            .withColumn("ts", F.col("ts").cast("timestamp"))
-            .dropDuplicates(["event_id"])
-        )
-        n_t, h_t = hash_df(twin)
-        record(
-            "dedup_stream_vs_batch",
-            (n_d, h_d) == (n_t, h_t),
-            n_d,
-            h_d,
-            f"(batch twin rows={n_t} hash={h_t}; {time.time() - t0:.0f}s)",
-        )
-
-        # --- certificate 4: stream-stream interval join == batch ------
-        t0 = time.time()
-        band_s = 300
-
-        def join_sides(left, right):
-            l = left.select(
-                "user_id",
-                "ts",
-                F.col("event_id").alias("l_event"),
-                F.col("value").alias("l_value"),
+        if want("sessionize"):
+            # --- certificate 1: sessionize, streaming == batch twin -------
+            t0 = time.time()
+            run_to_memory(spark, sessions_stream(), "equiv_sessions")
+            n_s, h_s = hash_df(spark.sql("SELECT * FROM equiv_sessions"))
+            n_b, h_b = hash_df(batch_sessions(spark, stage, info["ts_max_us"]))
+            record(
+                "sessionize_stream_vs_batch",
+                (n_s, h_s) == (n_b, h_b),
+                n_s,
+                h_s,
+                f"(batch twin rows={n_b} hash={h_b}; {time.time() - t0:.0f}s)",
             )
-            r = right.select(
-                "user_id",
-                F.col("ts").alias("r_ts"),
-                F.col("event_id").alias("r_event"),
-            )
-            return l, r
 
-        sl, sr = join_sides(
-            load_stream(spark, stage, schema), load_stream(spark, stage, schema)
-        )
-        joined_stream = join_event_streams(
-            sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
-            band_seconds=band_s, watermark=WATERMARK,
-        ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
-        run_to_memory(spark, joined_stream, "equiv_ivjoin")
-        n_j, h_j = hash_df(spark.sql("SELECT * FROM equiv_ivjoin"))
-        ev_b = spark.read.parquet(stage).withColumn(
-            "ts", F.col("ts").cast("timestamp")
-        )
-        bl, br = join_sides(ev_b, ev_b)
-        br = br.withColumnRenamed("user_id", "r_user")
-        twin_j = (
-            bl.join(
-                br,
-                (bl["user_id"] == br["r_user"])
-                & (br["r_ts"] >= bl["ts"])
-                & (br["r_ts"] <= bl["ts"] + F.expr(f"INTERVAL {band_s} SECONDS")),
+            # --- certificate 2: kill + restart from RocksDB checkpoint ----
+            t0 = time.time()
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass",
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider",
             )
-            .select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
-        )
-        n_jb, h_jb = hash_df(twin_j)
-        record(
-            "interval_join_stream_vs_batch",
-            (n_j, h_j) == (n_jb, h_jb),
-            n_j,
-            h_j,
-            f"(batch twin rows={n_jb} hash={h_jb}; {time.time() - t0:.0f}s)",
-        )
+            sink_dir = tempfile.mkdtemp(prefix="equiv_sink_")
+            ckpt = tempfile.mkdtemp(prefix="equiv_ckpt_")
+            work += [sink_dir, ckpt]
+            meta = run_with_kill_restart(
+                spark, sessions_stream, sink_dir, ckpt, kill_after=blocks // 2
+            )
+            n_r, h_r = hash_df(spark.read.schema(
+                spark.sql("SELECT * FROM equiv_sessions").schema
+            ).parquet(sink_dir))
+            record(
+                "sessionize_restart_recovery",
+                (n_r, h_r) == (n_s, h_s) and meta["restarted"],
+                n_r,
+                h_r,
+                f"(killed at batch {meta['killed_at_batch']}, restarted="
+                f"{meta['restarted']}, rocksdb state; {time.time() - t0:.0f}s)",
+            )
+            results[-1].update(meta)
 
-        # --- certificate 5: LEFT-OUTER stream-stream join == batch ----
-        # (round-11, VERDICT r10 item #4). The outer contract is
-        # timing-sensitive: an unmatched left event may only emit once
-        # the watermark closes its band (ts + band < wm), so the batch
-        # twin is a left join whose null-extended rows are filtered to
-        # bands the FINAL watermark sealed — matched pairs emit
-        # unconditionally. The bucketed rewrite must not duplicate a
-        # null-extension (left rows carry exactly one band bucket).
-        # ASYMMETRIC sides (clicks → purchases): a symmetric self-join
-        # would match every left row to itself at distance 0 and the
-        # outer path would never produce a null row — the certificate
-        # must force real unmatched lefts, both sealed (emitted with
-        # nulls) and open-band at end-of-stream (withheld).
-        t0 = time.time()
+        if want("dedup"):
+            # --- certificate 3: watermark dedup, streaming == batch -------
+            t0 = time.time()
+            deduped = stream_with_watermark_dedup(
+                load_stream(spark, stage, schema), "ts", ["event_id"], watermark=WATERMARK
+            )
+            run_to_memory(spark, deduped, "equiv_dedup")
+            n_d, h_d = hash_df(spark.sql("SELECT * FROM equiv_dedup"))
+            twin = (
+                spark.read.parquet(stage)
+                .withColumn("ts", F.col("ts").cast("timestamp"))
+                .dropDuplicates(["event_id"])
+            )
+            n_t, h_t = hash_df(twin)
+            record(
+                "dedup_stream_vs_batch",
+                (n_d, h_d) == (n_t, h_t),
+                n_d,
+                h_d,
+                f"(batch twin rows={n_t} hash={h_t}; {time.time() - t0:.0f}s)",
+            )
 
-        def outer_sides(left, right):
-            l = left.where(F.col("event_type") == "click").select(
-                "user_id",
-                "ts",
-                F.col("event_id").alias("l_event"),
-                F.col("value").alias("l_value"),
-            )
-            r = right.where(F.col("event_type") == "purchase").select(
-                "user_id",
-                F.col("ts").alias("r_ts"),
-                F.col("event_id").alias("r_event"),
-            )
-            return l, r
+        if want("interval_join_stream_vs_batch"):
+            # --- certificate 4: stream-stream interval join == batch ------
+            t0 = time.time()
 
-        sl, sr = outer_sides(
-            load_stream(spark, stage, schema), load_stream(spark, stage, schema)
-        )
-        joined_outer = join_event_streams(
-            sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
-            band_seconds=band_s, watermark=WATERMARK, how="leftOuter",
-        ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
-        run_to_memory(spark, joined_outer, "equiv_ivjoin_lo")
-        n_o, h_o = hash_df(spark.sql("SELECT * FROM equiv_ivjoin_lo"))
-        n_null = spark.sql(
-            "SELECT count(*) FROM equiv_ivjoin_lo WHERE r_event IS NULL"
-        ).first()[0]
-        final_wm_us = (info["ts_max_us"] // 1000 - WATERMARK_MS) * 1000
-        bl, br = outer_sides(ev_b, ev_b)
-        br = br.withColumnRenamed("user_id", "r_user")
-        twin_o = (
-            bl.join(
-                br,
-                (bl["user_id"] == br["r_user"])
-                & (br["r_ts"] >= bl["ts"])
-                & (br["r_ts"] <= bl["ts"] + F.expr(f"INTERVAL {band_s} SECONDS")),
-                "left",
-            )
-            .where(
-                F.col("r_event").isNotNull()
-                | (
-                    F.unix_micros("ts") + F.lit(band_s * 1_000_000)
-                    < F.lit(final_wm_us)
+            def join_sides(left, right):
+                l = left.select(
+                    "user_id",
+                    "ts",
+                    F.col("event_id").alias("l_event"),
+                    F.col("value").alias("l_value"),
                 )
+                r = right.select(
+                    "user_id",
+                    F.col("ts").alias("r_ts"),
+                    F.col("event_id").alias("r_event"),
+                )
+                return l, r
+
+            sl, sr = join_sides(
+                load_stream(spark, stage, schema), load_stream(spark, stage, schema)
             )
-            .select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
-        )
-        n_ob, h_ob = hash_df(twin_o)
-        record(
-            "interval_join_left_outer_stream_vs_batch",
-            (n_o, h_o) == (n_ob, h_ob) and n_null > 0,
-            n_o,
-            h_o,
-            f"(batch twin rows={n_ob} hash={h_ob}; null-extended rows={n_null}; "
-            f"{time.time() - t0:.0f}s)",
-        )
+            joined_stream = join_event_streams(
+                sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
+                band_seconds=band_s, watermark=WATERMARK,
+            ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+            run_to_memory(spark, joined_stream, "equiv_ivjoin")
+            n_j, h_j = hash_df(spark.sql("SELECT * FROM equiv_ivjoin"))
+            bl, br = join_sides(ev_b, ev_b)
+            br = br.withColumnRenamed("user_id", "r_user")
+            twin_j = (
+                bl.join(
+                    br,
+                    (bl["user_id"] == br["r_user"])
+                    & (br["r_ts"] >= bl["ts"])
+                    & (br["r_ts"] <= bl["ts"] + F.expr(f"INTERVAL {band_s} SECONDS")),
+                )
+                .select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+            )
+            n_jb, h_jb = hash_df(twin_j)
+            record(
+                "interval_join_stream_vs_batch",
+                (n_j, h_j) == (n_jb, h_jb),
+                n_j,
+                h_j,
+                f"(batch twin rows={n_jb} hash={h_jb}; {time.time() - t0:.0f}s)",
+            )
+
+        if want("left_outer"):
+            # --- certificate 5: LEFT-OUTER stream-stream join == batch ----
+            # (round-11, VERDICT r10 item #4). The outer contract is
+            # timing-sensitive: an unmatched left event may only emit once
+            # the watermark closes its band (ts + band < wm), so the batch
+            # twin is a left join whose null-extended rows are filtered to
+            # bands the FINAL watermark sealed — matched pairs emit
+            # unconditionally. The bucketed rewrite must not duplicate a
+            # null-extension (left rows carry exactly one band bucket).
+            # ASYMMETRIC sides (clicks → purchases): a symmetric self-join
+            # would match every left row to itself at distance 0 and the
+            # outer path would never produce a null row — the certificate
+            # must force real unmatched lefts, both sealed (emitted with
+            # nulls) and open-band at end-of-stream (withheld).
+            t0 = time.time()
+
+            def outer_sides(left, right):
+                l = left.where(F.col("event_type") == "click").select(
+                    "user_id",
+                    "ts",
+                    F.col("event_id").alias("l_event"),
+                    F.col("value").alias("l_value"),
+                )
+                r = right.where(F.col("event_type") == "purchase").select(
+                    "user_id",
+                    F.col("ts").alias("r_ts"),
+                    F.col("event_id").alias("r_event"),
+                )
+                return l, r
+
+            sl, sr = outer_sides(
+                load_stream(spark, stage, schema), load_stream(spark, stage, schema)
+            )
+            joined_outer = join_event_streams(
+                sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
+                band_seconds=band_s, watermark=WATERMARK, how="leftOuter",
+            ).select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+            run_to_memory(spark, joined_outer, "equiv_ivjoin_lo")
+            n_o, h_o = hash_df(spark.sql("SELECT * FROM equiv_ivjoin_lo"))
+            n_null = spark.sql(
+                "SELECT count(*) FROM equiv_ivjoin_lo WHERE r_event IS NULL"
+            ).first()[0]
+            final_wm_us = (info["ts_max_us"] // 1000 - WATERMARK_MS) * 1000
+            bl, br = outer_sides(ev_b, ev_b)
+            br = br.withColumnRenamed("user_id", "r_user")
+            twin_o = (
+                bl.join(
+                    br,
+                    (bl["user_id"] == br["r_user"])
+                    & (br["r_ts"] >= bl["ts"])
+                    & (br["r_ts"] <= bl["ts"] + F.expr(f"INTERVAL {band_s} SECONDS")),
+                    "left",
+                )
+                .where(
+                    F.col("r_event").isNotNull()
+                    | (
+                        F.unix_micros("ts") + F.lit(band_s * 1_000_000)
+                        < F.lit(final_wm_us)
+                    )
+                )
+                .select("l_event", "r_event", F.round("l_value", 4).alias("l_value"))
+            )
+            n_ob, h_ob = hash_df(twin_o)
+            record(
+                "interval_join_left_outer_stream_vs_batch",
+                (n_o, h_o) == (n_ob, h_ob) and n_null > 0,
+                n_o,
+                h_o,
+                f"(batch twin rows={n_ob} hash={h_ob}; null-extended rows={n_null}; "
+                f"{time.time() - t0:.0f}s)",
+            )
     finally:
         shutil.rmtree(stage, ignore_errors=True)
         for d in work:

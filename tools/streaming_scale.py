@@ -143,6 +143,31 @@ def main() -> int:
     print(json.dumps(rec), flush=True)
     results.append(rec)
 
+    # 3. LEFT-OUTER stream-stream interval join (round-12, VERDICT r11
+    # item #6): outer-null emission is watermark-driven, so its state
+    # row (both sides buffered until the band seals) is the number that
+    # decides executor sizing — the asymmetric clicks→purchases shape
+    # keeps real unmatched lefts in state to the end of the horizon.
+    from ska_src_maltopuft_etl_spark.streaming import join_event_streams
+
+    sl = load_stream().where(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.col("event_id").alias("l_event"),
+        F.col("value").alias("l_value"),
+    )
+    sr = load_stream().where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event"),
+    )
+    joined = join_event_streams(
+        sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
+        band_seconds=300, watermark="1 hour", how="leftOuter",
+    )
+    rec = run_stream(spark, joined, "interval_join_left_outer")
+    print(json.dumps(rec), flush=True)
+    results.append(rec)
+
     shutil.rmtree(stage, ignore_errors=True)
     artifact = {
         "tier_dir": tier,
