@@ -151,6 +151,25 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # cumulative count after certification is 156/156 — no query ever
 # registered remains window-never-held.
 _TAIL = [
+    # Round 12: RE-CERTIFICATION rotation (not backlog — that's retired).
+    # The round-12 fuzzer-driven fixes changed asof_join's NULL
+    # semantics (rights with NULL time/by-keys filtered; NULLS FIRST in
+    # both directions) and interval_join_sweep's desc tie policy
+    # (_Rev.__eq__), and interval_join_bucketed grew the tie_break
+    # delegation guard (force_pairwise exhibit). The five tail queries
+    # exercising those exact code paths move back IN-WINDOW so the
+    # driver re-certifies the changed operators this round:
+    # asof_join_purchase_context, asof_join_forward_next_action,
+    # asof_join_nearest_action, interval_join_bucketed_sessions,
+    # interval_join_sessions. In exchange five r11-certified rows with
+    # multiply-held covers rotate out (joint covers-closure verified in
+    # the round-12 session: zero §2 IDs lose their last in-window
+    # holder; prefix stays exactly 50 with no overflow).
+    "variant_props_stats",
+    "histogram_order_totals",
+    "robust_stats_mad",
+    "association_rules_lift",
+    "text_rarity_score",
     # Round-11 swap OUT for the three round-11 additions (covers
     # J1/P1/P4/A2/W6 all multiply held by remaining window rows).
     "q03_shipping_priority",
@@ -159,7 +178,6 @@ _TAIL = [
     # Round-11 rotation OUT: certified rows whose covers stay multiply
     # held after the 28 never-certified names move in-window.
     "union_distinct_nationkeys",
-    "interval_join_bucketed_sessions",
     "q04_order_priority",
     "q12_priority_shipping",
     "q14_promo_share",
@@ -182,7 +200,6 @@ _TAIL = [
     "q22_dormant_customers",
     "rag_chunk_documents",
     "interval_union_coverage",
-    "asof_join_nearest_action",
     "activity_bitmap_segments",
     "cusum_changepoint",
     "exp_smoothing_daily",
@@ -193,7 +210,6 @@ _TAIL = [
     "mjd_of_events",
     "pos_point_literal",
     "null_guard_stats",
-    "asof_join_forward_next_action",
     "cube_event_counts",
     "timeseries_gapfill_linear",
     "salted_join_revenue",
@@ -235,8 +251,6 @@ _TAIL = [
     "dedup_minhash_lsh",
     "dedup_normalized_text",
     "join_anti_inactive_customers",
-    "asof_join_purchase_context",
-    "interval_join_sessions",
     "join_full_outer",
     "text_language_id",
     "hms_dms_to_degrees",
