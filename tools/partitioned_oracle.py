@@ -63,6 +63,31 @@ SLICED_ORACLES = {
     FROM events e
     WHERE e.event_type = 'click' AND (e.event_id % {S}) = {i}
     """,
+    # Formulation B for the sweep query: DuckDB's native ASOF join.
+    # The pair-enumerating formulation above is O(pairs) — at the
+    # ×1000-zipf tier the hot user's clicks×containing-sessions pair
+    # set alone is ~1e10 and the sliced oracle would run for hours.
+    # Sessions here are FIXED-WIDTH (ts .. ts + 3 days), hence
+    # non-nested per user, so the interval_join_asof reduction is
+    # exact: the latest signup at-or-before the click either contains
+    # it or nothing does. DuckDB's ASOF LEFT JOIN computes exactly that
+    # latest-before match sort-merge-style (linear, no pair set), and
+    # the CASE applies the containment filter. Independence is
+    # preserved — it is DuckDB's own operator, not ours — and the two
+    # formulations are cross-validated against each other (both must
+    # match the SAME Spark hash) at sf0.01/sf0.1 before the asof form
+    # is trusted at tiers the pair form cannot reach. Invoke as
+    # "interval_join_sweep_sessions:asof".
+    "interval_join_sweep_sessions:asof": """
+    WITH e AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'click' AND (event_id % {S}) = {i}),
+         s AS (SELECT user_id, ts FROM events WHERE event_type = 'signup')
+    SELECT e.event_id,
+           CASE WHEN e.ts <= a.ts + INTERVAL 3 DAY
+                THEN epoch_us(a.ts) END AS session_start_us
+    FROM e ASOF LEFT JOIN s a
+      ON a.user_id = e.user_id AND a.ts <= e.ts
+    """,
     "asof_join_forward_next_action": """
     WITH err AS (SELECT event_id, user_id, ts FROM events
                  WHERE event_type = 'error' AND (event_id % {S}) = {i}),
@@ -114,6 +139,10 @@ def main() -> int:
     try:
         con.execute("SET temp_directory='/tmp/duckdb_oracle_spill'")
         con.execute("SET max_temp_directory_size='40GiB'")
+        # The whole point of slicing is bounded peak memory — cap the
+        # oracle explicitly so a slice that still blows up fails loudly
+        # instead of competing with the Spark heap for the box.
+        con.execute("SET memory_limit='40GiB'")
     except duckdb.Error:
         pass
     con.execute(
@@ -125,9 +154,10 @@ def main() -> int:
     for name in names:
         if name not in SLICED_ORACLES:
             sys.exit(f"no sliced oracle registered for {name!r}")
+        qname = name.split(":")[0]  # "query:form" → registry name
         release_all_persisted(spark)
         t0 = time.time()
-        sdf = QUERIES[name].fn(spark, tier)
+        sdf = QUERIES[qname].fn(spark, tier)
         scols = sdf.columns
         s_lines: list[str] = []
         n_s = 0
