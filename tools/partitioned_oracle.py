@@ -159,12 +159,13 @@ def main() -> int:
         t0 = time.time()
         sdf = QUERIES[qname].fn(spark, tier)
         scols = sdf.columns
-        s_lines: list[str] = []
-        n_s = 0
-        # toLocalIterator keeps the driver footprint one-partition-sized
-        for row in sdf.toLocalIterator():
-            s_lines.extend(lines_of(scols, [tuple(row)]))
-            n_s += 1
+        # plain collect(): toLocalIterator runs ONE JOB PER PARTITION
+        # (measured ~20s each at 512 partitions — hours for a result a
+        # 48g driver holds comfortably as ~20M small tuples).
+        rows = sdf.collect()
+        n_s = len(rows)
+        s_lines = lines_of(scols, [tuple(r) for r in rows])
+        del rows
         t_spark = time.time() - t0
         print(f"{name}: spark {n_s} rows ({t_spark:.1f}s)", flush=True)
 
