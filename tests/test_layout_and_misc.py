@@ -382,3 +382,33 @@ def test_harness_config_precedence(tmp_path, monkeypatch):
     yml.write_text("sf_dirr: /typo\n")
     with pytest.raises(ValueError, match="unknown harness config keys"):
         load_harness_config(yml)
+
+
+def test_partitioned_oracle_digest_equals_frame_hash():
+    """The sliced oracle's accumulate-then-sort digest must be
+    bit-identical to check_correctness.frame_hash on the same rows —
+    this identity is what lets a sliced DuckDB run certify the same
+    hash a single-shot oracle would (tools/partitioned_oracle.py)."""
+    import random
+
+    from tools.check_correctness import frame_hash
+    from tools.partitioned_oracle import digest, lines_of
+
+    rng = random.Random(7)
+    cols = ["b_id", "a_val", "c_note"]
+    rows = [
+        (
+            rng.randint(0, 50),
+            rng.choice([None, rng.random(), float("nan"), 3, -7]),
+            rng.choice([None, "x", "y\x1fz", ""]),
+        )
+        for _ in range(500)
+    ]
+    # arbitrary uneven slicing of the same multiset
+    k1, k2 = rng.randint(1, 499), rng.randint(1, 499)
+    lo, hi = min(k1, k2), max(k1, k2)
+    slices = [rows[:lo], rows[lo:hi], rows[hi:], []]
+    acc: list[str] = []
+    for s in slices:
+        acc.extend(lines_of(cols, s))
+    assert digest(acc) == frame_hash(cols, rows)
