@@ -130,7 +130,7 @@ def gen_intervals(rng, n, n_k, zipf, window, mode, tie, by_key=True):
                 e = s + rng.randrange(max(1, window // rng.choice([1, 3, 10])))
         if tie == "unique":
             tb = tbs[i]
-        elif tie == "dup":
+        elif tie in ("dup", "dup_str"):
             tb = None if rng.random() < 0.1 else rng.randint(0, 3)
         else:  # 's' — tb unused, keep constant so ties fall to start
             tb = 0
@@ -214,6 +214,17 @@ def gen_case(rng: random.Random) -> dict:
         rng, rng.randint(0, min(cap, 120)), n_k, zipf, window, mode, tie,
         by_key=bool(by),
     )
+    # string tie-breaks (sweep_ties only): pins the sweep heap's
+    # type-generality — _Rev/None-handling must work for any orderable
+    # type, and ASCII zero-padded strings order identically under
+    # Python codepoint compare (the heap) and DuckDB binary collation
+    # (the oracle), so the comparison stays engine-stable.
+    if family == "sweep_ties" and rng.random() < 0.4:
+        case["tb_str"] = True
+        case["ivals"] = [
+            (i_, k_, s_, e_, None if t_ is None else f"t{t_}")
+            for (i_, k_, s_, e_, t_) in case["ivals"]
+        ]
     case["probes"] = gen_probes(
         rng, rng.randint(0, cap), n_k, zipf, window, case["ivals"]
     )
@@ -343,10 +354,19 @@ def run_case(spec: dict, spark, con) -> dict | None:
         pdf = _sdf(spark, spec["probes"], "probe_id long, k long, ts timestamp")
         idf = _sdf(
             spark, spec["ivals"],
-            "ival_id long, k long, s timestamp, e timestamp, tb long",
+            "ival_id long, k long, s timestamp, e timestamp, tb "
+            + ("string" if spec.get("tb_str") else "long"),
+        )
+        ischema = (
+            pa.schema(
+                [(f.name, pa.string() if f.name == "tb" else f.type)
+                 for f in IVAL_SCHEMA]
+            )
+            if spec.get("tb_str")
+            else IVAL_SCHEMA
         )
         con.register("fz_p", _arrow(spec["probes"], PROBE_SCHEMA))
-        con.register("fz_i", _arrow(spec["ivals"], IVAL_SCHEMA))
+        con.register("fz_i", _arrow(spec["ivals"], ischema))
         isel = idf.select("ival_id", "s", "e", "tb", *(["k"] if by else []))
         kw = dict(left_ts="ts", right_start="s", right_end="e", by=by)
         if family == "pairs":
