@@ -76,6 +76,17 @@ def asof_join(
     tolerance (timestamps only). ``right_tiebreak`` columns make the
     winner among equal-``right_on`` right rows deterministic (the row
     with the greatest tiebreak value wins).
+
+    NULL semantics — a deliberate divergence from Polars: this operator
+    uses SQL equi-join NULL semantics for the ``by`` keys (a NULL by-key
+    matches nothing, on either side; NULL-keyed/NULL-time right rows are
+    dropped pre-union, NULL-keyed left rows come back unmatched). Polars
+    ``join_asof`` groups by-keys groupby-style, where NULL by-keys on
+    both sides fall into the same group and CAN match each other. The
+    reference pipeline never exercises the difference (its beam /
+    coherent-beam keys are validated non-null upstream,
+    meertrap/candidate/transform.py:107-136); SQL semantics are the
+    consistent choice next to every other join in this module.
     """
     by = list(by)
     lcols = left.columns
@@ -552,6 +563,15 @@ def interval_join_sweep(
             return other.v < self.v
 
         def __eq__(self, other):
+            # Load-bearing invariant: ordkeys only ever compare
+            # _Rev-to-_Rev — the null_tb flag ahead of this element in
+            # the heap tuple partitions NULL from non-NULL tie-breaks,
+            # so tuple comparison never reaches a _Rev with a non-_Rev
+            # on the other side. The isinstance guard keeps any future
+            # caller outside that invariant on Python's defined
+            # NotImplemented path instead of an AttributeError.
+            if not isinstance(other, _Rev):
+                return NotImplemented
             return self.v == other.v
 
     def sweep(batches):

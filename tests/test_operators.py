@@ -416,10 +416,20 @@ def test_interval_join_bucketed_tie_break_delegates_to_sweep(spark):
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts"
     )
-    sessions = ev.where(F.col("event_type") == "signup").select(
-        "user_id",
-        F.col("ts").alias("session_start"),
-        (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+    sessions = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            "user_id",
+            F.col("ts").alias("session_start"),
+            (F.col("ts") + F.expr("INTERVAL 3 DAY")).alias("session_end"),
+        )
+        # Unique (user_id, session_start) by construction: the pairwise
+        # path's row_number tie among equal-session_start intervals is
+        # nondeterministic by design, so equal-start sessions with
+        # different session_end would make the equivalence assertion
+        # below flaky. Here session_end is a function of session_start,
+        # so dropDuplicates is content-deterministic.
+        .dropDuplicates(["user_id", "session_start"])
     )
     kwargs = dict(
         left_ts="ts",
