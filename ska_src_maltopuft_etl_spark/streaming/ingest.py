@@ -160,6 +160,12 @@ def sessionize_events(
     (tools/stream_equiv.py) pins it against a batch twin with the same
     convention.
 
+    NULL conventions (round-13, pinned by tools/fuzz_stream.py):
+    NULL-``ts_col`` rows are dropped (no place on the time axis — same
+    rule as asof_join); a NULL ``user_col`` is a regular group (Spark
+    groupBy semantics); NULL ``value_col`` contributes nothing to
+    ``total_value`` (SQL SUM), with an all-NULL span totalling 0.0.
+
     ``timeout`` picks the session-close clock:
 
     - ``"event"`` (default): EventTimeTimeout — a session is emitted
@@ -261,7 +267,16 @@ def sessionize_events(
             if sealed:
                 yield emit(key, sealed)
             return
-        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        rows = pd.concat(list(pdfs))
+        # NULL event times cannot be placed on the time axis — drop them
+        # (same convention as asof_join's round-12 NULL rule). Without
+        # this, NaT.astype(int64) is int64-min and the garbage span
+        # merges into a real session (round-13 streaming-fuzzer probe:
+        # a session_end in year 1677).
+        rows = rows[rows[ts_col].notna()]
+        if rows.empty:
+            return  # state (and its armed timeout) untouched
+        rows = rows.sort_values(ts_col)
         ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()
         vals = rows[value_col].to_numpy()
         # Sessionize WITHIN the batch: split the key's (sorted) rows at
@@ -272,12 +287,15 @@ def sessionize_events(
         # fused; found by the round-9 stream-vs-batch certificate).
         cuts = np.flatnonzero(np.diff(ts_us) > gap_us) + 1
         bounds = np.concatenate(([0], cuts, [len(ts_us)]))
+        # nansum: NULL values contribute nothing (SQL SUM semantics,
+        # with the empty/all-NULL span totalling 0.0 rather than NULL —
+        # batch twins should compare against coalesce(sum(value), 0)).
         spans = [
             (
                 int(ts_us[a]),
                 int(ts_us[b - 1]),
                 int(b - a),
-                float(vals[a:b].sum()),
+                float(np.nansum(vals[a:b])),
             )
             for a, b in zip(bounds[:-1], bounds[1:])
         ]

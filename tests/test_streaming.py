@@ -734,3 +734,32 @@ def test_stream_join_left_outer_watermark_nulls(spark, tmp_path):
     got_naive = run(False, "lo_naive")
     assert got_bucketed == want
     assert got_naive == want
+
+
+def test_sessionize_null_ts_dropped_and_null_value_ignored(spark, tmp_path):
+    """Round-13 streaming-fuzzer probe finding: a NULL event-time row
+    used to enter the span math as NaT→int64-min and merge a
+    session_end in year 1677 into a real session. Pinned semantics:
+    NULL ts rows are dropped (no place on the time axis, the asof_join
+    convention); NULL values contribute nothing to total_value (SQL
+    SUM, all-NULL span → 0.0)."""
+    import json as _json
+
+    data = tmp_path / "events_nulls"
+    data.mkdir()
+    rows = [
+        {"user_id": 1, "ts": "2024-01-01T00:00:00.000Z", "value": 1.0},
+        {"user_id": 1, "ts": "2024-01-01T00:05:00.000Z", "value": None},
+        {"user_id": 1, "ts": None, "value": 99.0},  # must vanish
+        {"user_id": 2, "ts": None, "value": 7.0},  # all-NULL-ts group
+        # value-less session for user 3: total must be 0.0, not NULL/NaN
+        {"user_id": 3, "ts": "2024-01-01T00:01:00.000Z", "value": None},
+        # watermark anchor seals everything above (wm = 11:00 with 1h)
+        {"user_id": 9, "ts": "2024-01-01T12:00:00.000Z", "value": 0.0},
+    ]
+    (data / "a.json").write_text("\n".join(_json.dumps(r) for r in rows))
+    got = _run_sessionize(spark, data, "sessions_nulls")
+    assert got == [
+        (1, "2024-01-01T00:00:00", "2024-01-01T00:05:00", 2, 1.0),
+        (3, "2024-01-01T00:01:00", "2024-01-01T00:01:00", 1, 0.0),
+    ]

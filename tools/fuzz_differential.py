@@ -34,8 +34,12 @@ cross-engine boundary, learned from rounds 1-11):
 - integer SUM overflows BIGINT differently per engine -> sums are
   restricted to columns whose max * rowcount fits comfortably.
 
-Usage: python tools/fuzz_differential.py [sf_dir] [--n N] [--seed S | --seeds A,B,...] [--out FILE]
+Usage: python tools/fuzz_differential.py [sf_dir] [--n N]
+           [--seed S | --seeds A,B,...] [--out FILE] [--window-cap ROWS]
 Writes FUZZ.json at the repo root; exit 1 on any mismatch.
+--window-cap ROWS (the ×100 tier knob): window-family cases over tables
+larger than ROWS get a mandatory pushed-down modulo filter sized to cap
+the window input near ROWS (see the window grammar comment).
 """
 
 from __future__ import annotations
@@ -124,6 +128,7 @@ def table_stats(con: duckdb.DuckDBPyConnection, sf_dir: str) -> dict:
     for t, meta in TABLES.items():
         src = f"read_parquet('{sf_dir}/{t}.parquet')"
         s: dict = {"str_vals": {}, "num_range": {}, "ts_range": {}}
+        s["rowcount"] = con.execute(f"SELECT count(*) FROM {src}").fetchone()[0]
         for c in meta["strs"]:
             vals = con.execute(
                 f"SELECT DISTINCT {c} FROM {src} WHERE {c} IS NOT NULL "
@@ -190,7 +195,7 @@ def gen_pred(rng: random.Random, t: str, stats: dict) -> dict | None:
     return {"k": "ts", "col": c, "op": rng.choice(["<", ">=", ">"]), "lit": lit}
 
 
-def gen_spec(rng: random.Random, stats: dict) -> dict:
+def gen_spec(rng: random.Random, stats: dict, window_cap: int = 0) -> dict:
     join = rng.choice(JOINS) if rng.random() < 0.4 else None
     how = "inner"
     if join:
@@ -231,6 +236,22 @@ def gen_spec(rng: random.Random, stats: dict) -> dict:
         # includes PEERS, so equal sort keys must aggregate together
         # identically in both engines; running FP sums are excluded
         # (order-dependent accumulation), integer sums only.
+        #
+        # window_cap (round-13, the ×100 fuzz tier): the partition
+        # columns are low-cardinality strings, so WindowExec moves the
+        # WHOLE input through a handful of partitions — minutes per case
+        # on both engines over a 60M-row lineitem (the round-12 open
+        # thread). At big tiers a mandatory pushed-down modulo filter on
+        # a well-spread key caps the window's input near `window_cap`
+        # rows; the predicate renders identically in both engines
+        # (non-negative integer keys, same % semantics), so equivalence
+        # is untouched — only the tested subset shrinks.
+        if window_cap:
+            rc = stats[t]["rowcount"]
+            if rc > window_cap:
+                m = max(2, rc // window_cap)
+                c = rng.choice(TABLES[t]["ints"])
+                spec["pre_mod"] = {"col": c, "m": m, "r": rng.randrange(m)}
         part = rng.choice(all_strs)
         base = {part}
         base.update(rng.sample(all_ints, min(len(all_ints), rng.randint(1, 2))))
@@ -457,6 +478,9 @@ def agg_sql(a: dict) -> str:
 
 def build_spark(spec: dict, tables: dict) -> DataFrame:
     df = tables[spec["table"]]
+    if "pre_mod" in spec:
+        pm = spec["pre_mod"]
+        df = df.filter((F.col(pm["col"]) % pm["m"]) == pm["r"])
     if spec["join"]:
         _, rt, lk, rk = spec["join"]
         how = {"inner": "inner", "left": "left",
@@ -514,6 +538,9 @@ def build_sql(spec: dict) -> str:
     t = spec["table"]
     frm = t
     conds = [f"({pred_sql(p)})" for p in spec["preds"]]
+    if "pre_mod" in spec:
+        pm = spec["pre_mod"]
+        conds.append(f"({t}.{pm['col']} % {pm['m']} = {pm['r']})")
     if spec["join"]:
         _, rt, lk, rk = spec["join"]
         how = spec.get("join_how", "inner")
@@ -611,6 +638,9 @@ def main() -> int:
         seeds = [int(s) for s in args[args.index("--seeds") + 1].split(",")]
     else:
         seeds = [int(args[args.index("--seed") + 1]) if "--seed" in args else 11]
+    window_cap = (
+        int(args[args.index("--window-cap") + 1]) if "--window-cap" in args else 0
+    )
 
     spark = get_spark(app_name="fuzz", conf={"spark.ui.enabled": "false"})
     tables = load_tables(spark, sf_dir)
@@ -628,7 +658,7 @@ def main() -> int:
         for i in range(n):
             total += 1
             rng = random.Random(seed * 1_000_003 + i)
-            spec = gen_spec(rng, stats)
+            spec = gen_spec(rng, stats, window_cap=window_cap)
             try:
                 fail = run_case(spec, tables, con)
             except Exception as exc:  # engine error is a finding too
@@ -637,13 +667,15 @@ def main() -> int:
             if fail:
                 failures.append({"seed": seed, "case": i, **fail})
                 print(f"FAIL seed {seed} case {i}: {json.dumps(fail)[:400]}")
-            if (i + 1) % 50 == 0:
+            if (i + 1) % 10 == 0:
                 print(f"  seed {seed}: {i + 1}/{n} cases,"
-                      f" {len(failures)} failures, {time.time() - t0:.0f}s")
+                      f" {len(failures)} failures, {time.time() - t0:.0f}s",
+                      flush=True)
     out = {
         "seeds": seeds,
         "cases": total,
         "sf_dir": sf_dir,
+        "window_cap": window_cap,
         "failures": failures,
         "elapsed_sec": round(time.time() - t0, 1),
     }

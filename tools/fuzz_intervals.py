@@ -162,10 +162,13 @@ def gen_probes(rng, n, n_k, zipf, window, ivals):
     return rows
 
 
-def gen_case(rng: random.Random) -> dict:
-    family = rng.choice(
-        ["pairs", "best", "best", "sweep_ties", "asof", "asof", "overlap"]
-    )
+def gen_case(rng: random.Random, oracle_form: str = "rownum") -> dict:
+    if oracle_form == "asof":
+        family = "asof"
+    else:
+        family = rng.choice(
+            ["pairs", "best", "best", "sweep_ties", "asof", "asof", "overlap"]
+        )
     n_k = rng.randint(1, 8)
     window = rng.choice([3600, 86400, 864000])
     zipf = rng.random() < 0.4
@@ -177,21 +180,37 @@ def gen_case(rng: random.Random) -> dict:
         "by": by, "bucket": bucket,
     }
     if family == "asof":
+        n_r = rng.randint(0, min(cap, 120))
+        if oracle_form == "asof":
+            # DuckDB's native ASOF JOIN picks an ARBITRARY winner among
+            # equal right times, so the asof-oracle-form cases carry
+            # globally UNIQUE right event times — the match is then a
+            # function of (time ordering) alone and all three
+            # formulations (operator, ROW_NUMBER, native ASOF) must
+            # agree exactly.
+            rts = rng.sample(range(window + 1), n_r)
+            right_ts = [
+                None if rng.random() < 0.03 else _t(rts[i]) for i in range(n_r)
+            ]
+        else:
+            right_ts = [
+                None if rng.random() < 0.03 else _t(rng.randrange(window + 1))
+                for _ in range(n_r)
+            ]
         case["left"] = [
             (i, _key(rng, n_k, zipf),
              None if rng.random() < 0.03 else _t(rng.randrange(window + 1)))
             for i in range(rng.randint(0, min(cap, 200)))
         ]
         case["right"] = [
-            (i, _key(rng, n_k, zipf),
-             None if rng.random() < 0.03 else _t(rng.randrange(window + 1)))
-            for i in range(rng.randint(0, min(cap, 120)))
+            (i, _key(rng, n_k, zipf), right_ts[i]) for i in range(n_r)
         ]
         case["direction"] = rng.choice(["backward", "forward"])
         case["allow_exact"] = rng.random() < 0.7
         case["tolerance"] = (
             None if rng.random() < 0.5 else rng.randint(1, window)
         )
+        case["oracle_form"] = oracle_form
         return case
     if family == "overlap":
         case["left"] = gen_intervals(
@@ -294,6 +313,7 @@ def run_case(spec: dict, spark, con) -> dict | None:
 
     family, by = spec["family"], spec["by"]
     variants: dict = {}
+    sql_asof: str | None = None
 
     if family == "asof":
         ldf = _sdf(spark, spec["left"], "lid long, k long, t timestamp")
@@ -331,6 +351,40 @@ def run_case(spec: dict, spark, con) -> dict | None:
         SELECT l.lid, {pick} AS rid
         FROM fz_l l LEFT JOIN m ON m.lid = l.lid AND m.rn = 1
         """
+        if spec.get("oracle_form") == "asof":
+            # Second, INDEPENDENT oracle formulation: DuckDB's native
+            # ASOF JOIN (a sort-merge operator, not a window rank) —
+            # cross-validates the ROW_NUMBER oracle itself. DuckDB 1.0's
+            # ASOF treats NULL times as matchable (a NULL-t left row
+            # pairs with a NULL-rt right row under <=), so both sides
+            # pre-filter NULL times in CTEs and the NULL-t left rows are
+            # restored unmatched by the final left join — exactly the
+            # operator's (and SQL's) NULL semantics. Generated right
+            # times are globally unique, so the arbitrary equal-rt pick
+            # cannot differ between formulations.
+            key_filter = " AND k IS NOT NULL" if by else ""
+            keycond = "lc.k = rc.k AND " if by else ""
+            pick2 = "m.rid"
+            if spec["tolerance"] is not None:
+                gap2 = (
+                    "epoch_us(m.t) - epoch_us(m.rt)" if back
+                    else "epoch_us(m.rt) - epoch_us(m.t)"
+                )
+                pick2 = (
+                    f"CASE WHEN {gap2} <= "
+                    f"{int(spec['tolerance']) * 1_000_000} THEN m.rid END"
+                )
+            sql_asof = f"""
+            WITH lc AS (SELECT lid, k, t FROM fz_l WHERE t IS NOT NULL),
+                 rc AS (SELECT rid, k, rt FROM fz_r
+                        WHERE rt IS NOT NULL{key_filter}),
+                 m AS (
+                   SELECT lc.lid, rc.rid, rc.rt, lc.t
+                   FROM lc ASOF LEFT JOIN rc
+                     ON {keycond}rc.rt {cmp_op} lc.t)
+            SELECT l.lid, {pick2} AS rid
+            FROM fz_l l LEFT JOIN m ON m.lid = l.lid
+            """
     elif family == "overlap":
         lrows = [(r[0], r[1], r[2], r[3]) for r in spec["left"]]
         rrows = [(r[0], r[1], r[2], r[3]) for r in spec["right"]]
@@ -431,6 +485,15 @@ def run_case(spec: dict, spark, con) -> dict | None:
     orows = res.fetchall()
     h_o = frame_hash(ocols, orows)
     fails = {}
+    if sql_asof is not None:
+        res2 = con.execute(sql_asof)
+        orows2 = res2.fetchall()
+        h_o2 = frame_hash([d[0] for d in res2.description], orows2)
+        if (len(orows2), h_o2) != (len(orows), h_o):
+            fails["oracle_crosscheck"] = {
+                "rows": (len(orows2), len(orows)),
+                "hash": (h_o2, h_o),
+            }
     for name, df in variants.items():
         scols = df.columns
         srows = [tuple(r) for r in df.collect()]
@@ -466,6 +529,12 @@ def main() -> int:
     out_name = (
         args[args.index("--out") + 1] if "--out" in args else "FUZZ_INTERVALS.json"
     )
+    oracle_form = (
+        args[args.index("--oracle-form") + 1] if "--oracle-form" in args
+        else "rownum"
+    )
+    if oracle_form not in ("rownum", "asof"):
+        sys.exit(f"--oracle-form must be rownum or asof: {oracle_form!r}")
 
     spark = get_spark(
         app_name="fuzz_intervals",
@@ -481,7 +550,7 @@ def main() -> int:
         for i in range(n):
             total += 1
             rng = random.Random(seed * 1_000_003 + i)
-            spec = gen_case(rng)
+            spec = gen_case(rng, oracle_form=oracle_form)
             fam_counts[spec["family"]] = fam_counts.get(spec["family"], 0) + 1
             try:
                 fail = run_case(spec, spark, con)
@@ -501,7 +570,18 @@ def main() -> int:
         "failures": failures, "elapsed_sec": round(time.time() - t0, 1),
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(root, out_name), "w") as f:
+    path = os.path.join(root, out_name)
+    if oracle_form == "asof":
+        # the asof-oracle-form run records itself as a SECTION of the
+        # main artifact (VERDICT r12 item #6): load-and-merge so the
+        # standard-family run's record survives
+        existing = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                existing = json.load(f)
+        existing["asof_oracle_form"] = out
+        out = existing
+    with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{total} cases, {len(failures)} failures ({out['elapsed_sec']}s)")
     print(json.dumps(fam_counts))

@@ -88,6 +88,25 @@ SLICED_ORACLES = {
     FROM e ASOF LEFT JOIN s a
       ON a.user_id = e.user_id AND a.ts <= e.ts
     """,
+    # Overlap join (round-13 VERDICT item #4): every output pair has
+    # exactly ONE session row, so slicing the SESSION scan by
+    # s_event % S partitions the output; the window side stays full —
+    # the same outer-probe soundness argument as above (the ×1000
+    # uniform certificate was previously count-only because the
+    # single-shot pair join exceeded DuckDB's memory).
+    "interval_overlap_pairs": """
+    WITH ses AS (SELECT event_id AS s_event, user_id, ts AS s_start,
+                        ts + INTERVAL 3 DAY AS s_end
+                 FROM events WHERE event_type = 'signup'
+                   AND (event_id % {S}) = {i}),
+         win AS (SELECT event_id AS w_event, user_id, ts AS w_start,
+                        ts + INTERVAL 1 DAY AS w_end
+                 FROM events WHERE event_type = 'purchase')
+    SELECT s.s_event, w.w_event
+    FROM ses s JOIN win w
+      ON w.user_id = s.user_id
+     AND s.s_start <= w.w_end AND w.w_start <= s.s_end
+    """,
     "asof_join_forward_next_action": """
     WITH err AS (SELECT event_id, user_id, ts FROM events
                  WHERE event_type = 'error' AND (event_id % {S}) = {i}),
