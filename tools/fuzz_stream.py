@@ -152,10 +152,21 @@ def gen_case(rng: random.Random) -> dict:
         case["right"] = rows_for(rng.randint(0, 60), 0.05, 0.04, 0.05)
     else:
         case["rows"] = rows_for(rng.randint(0, 120), 0.05, 0.04, 0.08)
-        # cross-batch exact duplicates (the dedup family's point; extra
-        # same-content events for the others — both engines see both)
+        # Cross-batch exact duplicates (the dedup family's point; extra
+        # same-content events for the others — both engines see both).
+        # NULL-event-time rows are never duplicated in the dedup family:
+        # Spark expires a NULL-time dedup state entry once the watermark
+        # passes the delay (observed: a NULL-ts duplicate arriving 3
+        # blocks after its original re-emitted while adjacent-block
+        # NULL-ts duplicates deduped fine), and NULL-ts rows carry no
+        # lateness bound, so the plain-dropDuplicates twin cannot model
+        # them. They stay in the row pool as single pass-through probes.
+        dup_pool = (
+            [r for r in case["rows"] if r[2] is not None]
+            if family == "dedup" else case["rows"]
+        )
         case["dups"] = [
-            r for r in case["rows"] if rng.random() < (0.3 if family == "dedup" else 0.1)
+            r for r in dup_pool if rng.random() < (0.3 if family == "dedup" else 0.1)
         ]
         if family == "dedup" and rng.random() < 0.3:
             # NULL dedup-key clones: every NULL-event_id row in a case is
