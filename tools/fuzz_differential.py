@@ -220,12 +220,31 @@ def gen_spec(rng: random.Random, stats: dict, window_cap: int = 0) -> dict:
         ["project", "project", "distinct", "agg", "agg", "agg", "window", "window"]
     )
     spec = {"table": t, "join": join, "join_how": how, "preds": preds, "kind": kind}
+
+    def maybe_cap():
+        # window_cap (round-13, the ×100 fuzz tier): result- or
+        # partition-unbounded shapes cannot run raw over a 60M-row
+        # table — WindowExec moves the whole input through a handful of
+        # low-cardinality string partitions (minutes per case, the
+        # round-12 open thread), and an unlimited project/distinct
+        # collect()s up to the full table (its first ×100 run tripped
+        # spark.driver.maxResultSize at 60M joined rows). A mandatory
+        # pushed-down modulo filter on a well-spread key caps the input
+        # near `window_cap` rows; the predicate renders identically in
+        # both engines (non-negative integer keys, same % semantics),
+        # so equivalence is untouched — only the tested subset shrinks.
+        rc = stats[t]["rowcount"]
+        if window_cap and rc > window_cap:
+            m = max(2, rc // window_cap)
+            c = rng.choice(TABLES[t]["ints"])
+            spec["pre_mod"] = {"col": c, "m": m, "r": rng.randrange(m)}
     all_strs = [c for x in tables for c in TABLES[x]["strs"]]
     all_ints = [c for x in tables for c in TABLES[x]["ints"]]
 
     if kind == "distinct":
         pool = all_strs + [c for x in tables for c in TABLES[x]["ints"][1:]]
         spec["cols"] = sorted(rng.sample(pool, rng.randint(1, min(2, len(pool)))))
+        maybe_cap()  # distinct over int columns approaches table cardinality
         return spec
 
     if kind == "window":
@@ -237,21 +256,6 @@ def gen_spec(rng: random.Random, stats: dict, window_cap: int = 0) -> dict:
         # identically in both engines; running FP sums are excluded
         # (order-dependent accumulation), integer sums only.
         #
-        # window_cap (round-13, the ×100 fuzz tier): the partition
-        # columns are low-cardinality strings, so WindowExec moves the
-        # WHOLE input through a handful of partitions — minutes per case
-        # on both engines over a 60M-row lineitem (the round-12 open
-        # thread). At big tiers a mandatory pushed-down modulo filter on
-        # a well-spread key caps the window's input near `window_cap`
-        # rows; the predicate renders identically in both engines
-        # (non-negative integer keys, same % semantics), so equivalence
-        # is untouched — only the tested subset shrinks.
-        if window_cap:
-            rc = stats[t]["rowcount"]
-            if rc > window_cap:
-                m = max(2, rc // window_cap)
-                c = rng.choice(TABLES[t]["ints"])
-                spec["pre_mod"] = {"col": c, "m": m, "r": rng.randrange(m)}
         part = rng.choice(all_strs)
         base = {part}
         base.update(rng.sample(all_ints, min(len(all_ints), rng.randint(1, 2))))
@@ -275,6 +279,7 @@ def gen_spec(rng: random.Random, stats: dict, window_cap: int = 0) -> dict:
         if not wexprs:
             wexprs = [{"k": "row_number", "name": "w_row_number"}]
         spec["wexprs"] = wexprs
+        maybe_cap()
         return spec
 
     if kind == "project":
@@ -298,6 +303,8 @@ def gen_spec(rng: random.Random, stats: dict, window_cap: int = 0) -> dict:
         spec["computed"] = computed
         if rng.random() < 0.5:
             spec["order_limit"] = rng.randint(5, 50)
+        else:
+            maybe_cap()  # an unlimited project collects up to the table
         return spec
 
     # aggregate
