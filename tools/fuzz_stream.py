@@ -136,6 +136,15 @@ def gen_case(rng: random.Random) -> dict:
         0 if rng.random() < 0.5 else rng.randrange(block_len)
     )
     case["boundary"] = blocks >= 2 and rng.random() < 0.4
+    # two_phase (round-13 extension): a deterministic cold-restart —
+    # phase 1 stages only the first half of the blocks and drains to a
+    # parquet sink under availableNow; phase 2 adds the remaining block
+    # files and restarts on the SAME checkpoint + sink. State (open
+    # sessions, dedup keys, join buffers, watermark) must survive the
+    # restart byte-exactly: the combined output is compared against the
+    # same single-run batch twin. No kill-timing race — the phase
+    # boundary is exact.
+    case["two_phase"] = blocks >= 2 and rng.random() < 0.35
 
     def rows_for(n, p_null_key, p_null_ts, p_null_val):
         out = []
@@ -190,15 +199,18 @@ def assign_blocks(rng, rows, window, blocks):
     return out
 
 
-def stage(rows_with_blocks, blocks, next_id) -> tuple[str, int]:
-    """Write per-block parquet files (oldest-first mtimes) with globally
-    unique event ids; returns (dir, next_id)."""
+def stage(rows_with_blocks, blocks, split=None):
+    """Write per-block parquet files (oldest-first mtimes). With
+    ``split=k`` only blocks < k are written now; the returned ``finish``
+    callable writes the rest (the two-phase restart's phase boundary).
+    Returns (dir, finish)."""
     d = tempfile.mkdtemp(prefix="fzs_")
     now = time.time()
     per_block: list[list] = [[] for _ in range(blocks)]
     for (eid, k, ts, val), b in rows_with_blocks:
         per_block[b].append((eid, k, _t(ts), val))
-    for i in range(blocks):
+
+    def write(i):
         rows = per_block[i]
         cols = list(zip(*rows)) if rows else [[], [], [], []]
         tbl = pa.table(
@@ -208,7 +220,16 @@ def stage(rows_with_blocks, blocks, next_id) -> tuple[str, int]:
         p = os.path.join(d, f"b{i:03d}.parquet")
         pq.write_table(tbl, p)
         os.utime(p, (now - 3600 + i, now - 3600 + i))
-    return d, next_id
+
+    for i in range(blocks if split is None else split):
+        write(i)
+
+    def finish():
+        if split is not None:
+            for i in range(split, blocks):
+                write(i)
+
+    return d, finish
 
 
 def renumber(rows, start):
@@ -250,6 +271,35 @@ def run_stream(spark, df) -> str:
         q.stop()
         raise RuntimeError("streaming query did not terminate in 300s")
     return name
+
+
+def run_two_phase(make_df, finishers) -> tuple[str, str]:
+    """Cold-restart-from-checkpoint: drain the phase-1 files into a
+    parquet sink, stop (availableNow terminates), write the phase-2
+    files, restart on the SAME checkpoint + sink. Returns (sink, ckpt);
+    caller reads the sink and removes both."""
+    sink = tempfile.mkdtemp(prefix="fzs_sink_")
+    ckpt = tempfile.mkdtemp(prefix="fzs_ck2_")
+
+    def drain():
+        q = (
+            make_df().writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        ok = q.awaitTermination(300)
+        if not ok:
+            q.stop()
+            raise RuntimeError("two-phase query did not terminate in 300s")
+
+    drain()
+    for fin in finishers:
+        fin()
+    drain()
+    return sink, ckpt
 
 
 def reader(spark, d):
@@ -329,25 +379,34 @@ def run_case(spec: dict, spark) -> dict | None:
                 nxt += 1
                 rwb.append(r_anchor)
                 rrows = rrows + [r_anchor[0]]
-            dl, _ = stage(lwb, total_blocks, 0)
-            dr, _ = stage(rwb, total_blocks, 0)
+            split = max(1, total_blocks // 2) if spec["two_phase"] else None
+            dl, fin_l = stage(lwb, total_blocks, split)
+            dr, fin_r = stage(rwb, total_blocks, split)
             dirs += [dl, dr]
             how = "inner" if family == "join_inner" else "leftOuter"
             band = spec["band"]
-            sl = reader(spark, dl).select(
-                "user_id", "ts", F.col("event_id").alias("l_event")
-            )
-            sr = reader(spark, dr).select(
-                "user_id", F.col("ts").alias("r_ts"),
-                F.col("event_id").alias("r_event"),
-            )
-            joined = join_event_streams(
-                sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
-                band_seconds=band, watermark=wm_str, how=how,
-            ).select("l_event", "r_event")
-            view = run_stream(spark, joined)
-            views.append(view)
-            got = spark.sql(f"SELECT l_event, r_event FROM {view}")
+
+            def make_join():
+                sl = reader(spark, dl).select(
+                    "user_id", "ts", F.col("event_id").alias("l_event")
+                )
+                sr = reader(spark, dr).select(
+                    "user_id", F.col("ts").alias("r_ts"),
+                    F.col("event_id").alias("r_event"),
+                )
+                return join_event_streams(
+                    sl, sr, key="user_id", left_ts="ts", right_ts="r_ts",
+                    band_seconds=band, watermark=wm_str, how=how,
+                ).select("l_event", "r_event")
+
+            if spec["two_phase"]:
+                sink, ck2 = run_two_phase(make_join, [fin_l, fin_r])
+                dirs += [sink, ck2]
+                got = spark.read.schema("l_event long, r_event long").parquet(sink)
+            else:
+                view = run_stream(spark, make_join())
+                views.append(view)
+                got = spark.sql(f"SELECT l_event, r_event FROM {view}")
 
             bl = spark.read.schema(EVENT_DDL).parquet(dl).select(
                 "user_id", "ts", F.col("event_id").alias("l_event")
@@ -415,20 +474,33 @@ def run_case(spec: dict, spark) -> dict | None:
             extra, _ = boundary_pair(nxt)
             allwb = rwb + dwb + extra
             full = [r for r, _ in allwb]
-            d, _ = stage(allwb, total_blocks, 0)
+            split = max(1, total_blocks // 2) if spec["two_phase"] else None
+            d, fin = stage(allwb, total_blocks, split)
             dirs.append(d)
-            batch = spark.read.schema(EVENT_DDL).parquet(d)
 
             if family == "dedup":
-                out = stream_with_watermark_dedup(
-                    reader(spark, d), "ts", ["event_id"], watermark=wm_str
-                )
-                view = run_stream(spark, out)
-                views.append(view)
-                got = spark.sql(
-                    f"SELECT event_id, user_id, unix_micros(ts) AS ts_us, value "
-                    f"FROM {view}"
-                )
+                def make_dedup():
+                    return stream_with_watermark_dedup(
+                        reader(spark, d), "ts", ["event_id"], watermark=wm_str
+                    )
+
+                if spec["two_phase"]:
+                    sink, ck2 = run_two_phase(make_dedup, [fin])
+                    dirs += [sink, ck2]
+                    got = spark.read.schema(EVENT_DDL).parquet(sink).select(
+                        "event_id", "user_id",
+                        F.unix_micros("ts").alias("ts_us"), "value",
+                    )
+                else:
+                    view = run_stream(spark, make_dedup())
+                    views.append(view)
+                    got = spark.sql(
+                        f"SELECT event_id, user_id, unix_micros(ts) AS ts_us, "
+                        f"value FROM {view}"
+                    )
+                # twin reads AFTER the stream ran: phase-2 files must be
+                # on disk before the batch file index is built
+                batch = spark.read.schema(EVENT_DDL).parquet(d)
                 twin = batch.dropDuplicates(["event_id"]).select(
                     "event_id", "user_id",
                     F.unix_micros("ts").alias("ts_us"), "value",
@@ -436,16 +508,34 @@ def run_case(spec: dict, spark) -> dict | None:
             else:
                 gap_min = spec["gap_minutes"]
                 gap_us = gap_min * 60 * 1_000_000
-                out = sessionize_events(
-                    reader(spark, d), gap_minutes=gap_min, watermark=wm_str
-                )
-                view = run_stream(spark, out)
-                views.append(view)
-                got = spark.sql(
-                    f"SELECT user_id, unix_micros(session_start) AS s_us, "
-                    f"unix_micros(session_end) AS e_us, n_events, total_value "
-                    f"FROM {view}"
-                )
+
+                def make_sess():
+                    return sessionize_events(
+                        reader(spark, d), gap_minutes=gap_min, watermark=wm_str
+                    )
+
+                if spec["two_phase"]:
+                    sink, ck2 = run_two_phase(make_sess, [fin])
+                    dirs += [sink, ck2]
+                    got = spark.read.schema(
+                        "user_id long, session_start timestamp, "
+                        "session_end timestamp, n_events int, "
+                        "total_value double"
+                    ).parquet(sink).select(
+                        "user_id",
+                        F.unix_micros("session_start").alias("s_us"),
+                        F.unix_micros("session_end").alias("e_us"),
+                        "n_events", "total_value",
+                    )
+                else:
+                    view = run_stream(spark, make_sess())
+                    views.append(view)
+                    got = spark.sql(
+                        f"SELECT user_id, unix_micros(session_start) AS s_us, "
+                        f"unix_micros(session_end) AS e_us, n_events, "
+                        f"total_value FROM {view}"
+                    )
+                batch = spark.read.schema(EVENT_DDL).parquet(d)
                 wm = final_wm_us(full, delay)
                 ev = batch.where(F.col("ts").isNotNull())
                 w = Window.partitionBy("user_id").orderBy("ts")
