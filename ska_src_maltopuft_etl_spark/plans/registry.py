@@ -151,6 +151,15 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # cumulative count after certification is 156/156 — no query ever
 # registered remains window-never-held.
 _TAIL = [
+    # Round 13: NO rotation. No registry-covered operator changed
+    # behavior this round — the joins.py edits are a docstring and an
+    # isinstance guard on an invariant-protected path (re-pinned by a
+    # fresh 300-case interval-fuzz run plus the new 200-case native-
+    # ASOF oracle form), and the sessionize NULL fix lives in
+    # streaming/ingest.py, whose certification surface is
+    # STREAM_EQUIV{,_ZIPF}.json (re-stamped) + FUZZ_STREAM.json
+    # (210 generated cases) + the pytest gate, not the oracle registry.
+    # The window therefore stays exactly as round 12 certified it.
     # Round 12: RE-CERTIFICATION rotation (not backlog — that's retired).
     # The round-12 fuzzer-driven fixes changed asof_join's NULL
     # semantics (rights with NULL time/by-keys filtered; NULLS FIRST in
