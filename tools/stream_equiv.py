@@ -331,6 +331,55 @@ def main() -> int:
             )
             results[-1].update(meta)
 
+            # --- certificate 2b: COLD restart with NEW files (round-13) --
+            # Cert 2 kills a RUNNING query; this one stops a fully
+            # DRAINED one (availableNow terminated on half the blocks),
+            # lands the remaining time-block files, and restarts on the
+            # same checkpoint + sink — the operational "new data arrived
+            # after the stream stopped" path. Carried state (open
+            # sessions at the phase boundary, the watermark) must
+            # survive the cold start: the combined output hash must
+            # equal the single-run hash from certificate 1.
+            t0 = time.time()
+            hold = tempfile.mkdtemp(prefix="equiv_hold_")
+            sink2 = tempfile.mkdtemp(prefix="equiv_sink2_")
+            ckpt2 = tempfile.mkdtemp(prefix="equiv_ckpt2_")
+            work += [hold, sink2, ckpt2]
+            moved = []
+            for i in range(blocks // 2, blocks):
+                fname = f"block_{i:03d}.parquet"
+                shutil.move(os.path.join(stage, fname), os.path.join(hold, fname))
+                moved.append(fname)
+
+            def drain_cold():
+                q = (
+                    sessions_stream().writeStream.format("parquet")
+                    .option("path", sink2)
+                    .option("checkpointLocation", ckpt2)
+                    .outputMode("append")
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                assert q.awaitTermination(1800) is True, "cold-restart drain hung"
+
+            drain_cold()
+            for fname in moved:  # restore BEFORE the restart and for certs 3-5
+                shutil.move(os.path.join(hold, fname), os.path.join(stage, fname))
+            drain_cold()
+            n_c, h_c = hash_df(
+                spark.read.schema(
+                    spark.sql("SELECT * FROM equiv_sessions").schema
+                ).parquet(sink2)
+            )
+            record(
+                "sessionize_cold_restart_new_files",
+                (n_c, h_c) == (n_s, h_s),
+                n_c,
+                h_c,
+                f"(drained {blocks // 2} blocks, stopped, +{len(moved)} blocks, "
+                f"restarted from checkpoint; {time.time() - t0:.0f}s)",
+            )
+
         if want("dedup"):
             # --- certificate 3: watermark dedup, streaming == batch -------
             t0 = time.time()
