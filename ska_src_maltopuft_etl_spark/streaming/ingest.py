@@ -275,7 +275,17 @@ def sessionize_events(
         # a session_end in year 1677).
         rows = rows[rows[ts_col].notna()]
         if rows.empty:
-            return  # state (and its armed timeout) untouched
+            # Defensive re-arm (round-14 advice): on PySpark 4.1.2 a
+            # stored timeoutTimestamp survives an invocation that does
+            # not re-set it, but the Scala GroupState contract documents
+            # timeouts as reset on every function call — re-arm from the
+            # stored spans so correctness never depends on the
+            # pass-through behavior.
+            if state.exists:
+                set_timeout(
+                    state, min(e for _, e, _, _ in load_spans(state))
+                )
+            return
         rows = rows.sort_values(ts_col)
         ts_us = (rows[ts_col].astype("int64") // 1000).to_numpy()
         vals = rows[value_col].to_numpy()

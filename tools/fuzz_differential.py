@@ -236,7 +236,17 @@ def gen_spec(rng: random.Random, stats: dict, window_cap: int = 0) -> dict:
         rc = stats[t]["rowcount"]
         if window_cap and rc > window_cap:
             m = max(2, rc // window_cap)
-            c = rng.choice(TABLES[t]["ints"])
+            # High-cardinality guard (round-14 advice): the cap is only
+            # a cap if col % m == r is ~1/m selective. A low-cardinality
+            # column (l_linenumber: 1..7) concentrates into few residues
+            # — keeping nearly all rows (re-exposing the OOM the cap
+            # prevents) or zero — and a zipf-hot key (user_id in the
+            # skew tiers) has a large SPAN but concentrated mass, so a
+            # span check is not enough. Restrict to the FIRST int
+            # column, PK-like by TABLES convention
+            # (orderkey/custkey/partkey/event_id/doc_id): dense and
+            # near-uniform across residues even in the zipf tiers.
+            c = TABLES[t]["ints"][0]
             spec["pre_mod"] = {"col": c, "m": m, "r": rng.randrange(m)}
     all_strs = [c for x in tables for c in TABLES[x]["strs"]]
     all_ints = [c for x in tables for c in TABLES[x]["ints"]]

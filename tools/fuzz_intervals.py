@@ -571,16 +571,24 @@ def main() -> int:
     }
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, out_name)
+    existing = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            try:
+                existing = json.load(f)
+            except ValueError:
+                existing = {}
     if oracle_form == "asof":
         # the asof-oracle-form run records itself as a SECTION of the
         # main artifact (VERDICT r12 item #6): load-and-merge so the
         # standard-family run's record survives
-        existing = {}
-        if os.path.exists(path):
-            with open(path) as f:
-                existing = json.load(f)
         existing["asof_oracle_form"] = out
         out = existing
+    elif "asof_oracle_form" in existing:
+        # symmetric merge (round-14 advice): a standard-form run must
+        # preserve the asof-form section too, or the cross-check
+        # certificate silently goes stale on every standard re-pin
+        out["asof_oracle_form"] = existing["asof_oracle_form"]
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(f"\n{total} cases, {len(failures)} failures ({out['elapsed_sec']}s)")
