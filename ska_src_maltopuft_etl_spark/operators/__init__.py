@@ -42,6 +42,9 @@ from ska_src_maltopuft_etl_spark.operators.expectations import (
     expect_unique,
     quality_report,
 )
+from ska_src_maltopuft_etl_spark.operators.ivf_index import (
+    IvfIndex,
+)
 from ska_src_maltopuft_etl_spark.operators.sketches import (
     heavy_hitters,
     weighted_sample_per_group,
@@ -62,6 +65,7 @@ __all__ = [
     "expect_regex",
     "expect_unique",
     "heavy_hitters",
+    "IvfIndex",
     "quality_report",
     "weighted_sample_per_group",
     "weighted_sample_topk",

@@ -577,6 +577,135 @@ def cosine_pairs_exact(
     return grouped_l.cogroup(grouped_r).applyInPandas(cell, schema=out_schema)
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    lloyd_iters: int = 2,
+):
+    """Deterministic kmeans-lite centroid training (driver-side over a
+    bounded 10k id-ordered sample). Moved verbatim out of
+    ``cosine_topk_ivf`` (round 14) so the parquet-backed
+    ``operators.ivf_index.IvfIndex`` trains bit-identically — the
+    index's recall-parity property test depends on it. Returns an
+    (n_centroids, dim) unit-norm numpy array."""
+    import numpy as np
+
+    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(10_000).toPandas()
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    cents = Mn[:n_centroids].copy()
+    for _ in range(lloyd_iters):
+        assign = np.argmax(Mn @ cents.T, axis=1)
+        for c in range(n_centroids):
+            members = Mn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / np.linalg.norm(m)
+    return cents
+
+
+def _with_cluster_schema(df: DataFrame, id_col: str, vec_col: str):
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    return StructType(
+        list(df.select(id_col, vec_col).schema.fields)
+        + [StructField("__cluster", IntegerType())]
+    )
+
+
+def ivf_assign(
+    corpus: DataFrame, cents, id_col: str, vec_col: str
+) -> DataFrame:
+    """Tag every corpus row with its nearest centroid: one map-only
+    Arrow pass (no shuffle) — the inverted-file build step."""
+    import numpy as np
+
+    bc = corpus.sparkSession.sparkContext.broadcast(cents)
+
+    def assign_gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            pdf = pdf.copy()
+            pdf["__cluster"] = np.argmax(An @ C.T, axis=1).astype("int32")
+            yield pdf
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        assign_gen, schema=_with_cluster_schema(corpus, id_col, vec_col)
+    )
+
+
+def ivf_probe(
+    queries: DataFrame, cents, id_col: str, vec_col: str, n_probe: int
+) -> DataFrame:
+    """Expand each query to its ``n_probe`` nearest centroids — the
+    probe side of the inverted-file equi-join."""
+    import numpy as np
+
+    bc = queries.sparkSession.sparkContext.broadcast(cents)
+
+    def probe_gen(batches):
+        C = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            sims = An @ C.T
+            order = np.argsort(-sims, axis=1)[:, :n_probe]
+            rows = pdf.loc[pdf.index.repeat(n_probe)].copy()
+            rows["__cluster"] = order.reshape(-1).astype("int32")
+            yield rows
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        probe_gen, schema=_with_cluster_schema(queries, id_col, vec_col)
+    )
+
+
+def ivf_score_topk(
+    probed_queries: DataFrame,
+    tagged_corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int,
+    decimals: int,
+    dim: int,
+) -> DataFrame:
+    """Equi-join probes against inverted lists on cluster id and keep
+    the declarative top-k by cosine (desc, id asc tie-break)."""
+    q = probed_queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double_vec(F.col(vec_col)).alias("__qv"),
+        "__cluster",
+    ).withColumn("__qn", l2_norm(F.col("__qv")))
+    c = tagged_corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double_vec(F.col(vec_col)).alias("__cv"),
+        "__cluster",
+    ).withColumn("__cn", l2_norm(F.col("__cv")))
+    scored = q.join(c, "__cluster").select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")),
+            decimals,
+        ).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -612,20 +741,9 @@ def cosine_topk_ivf(
     """
     import numpy as np
     import pandas as pd
-    from pyspark.sql.types import IntegerType, StructField, StructType
 
     spark = corpus.sparkSession
-    sample = corpus.select(id_col, vec_col).orderBy(id_col).limit(10_000).toPandas()
-    M = np.stack([np.asarray(v, dtype=np.float64) for v in sample[vec_col]])
-    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
-    cents = Mn[:n_centroids].copy()
-    for _ in range(lloyd_iters):
-        assign = np.argmax(Mn @ cents.T, axis=1)
-        for c in range(n_centroids):
-            members = Mn[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / np.linalg.norm(m)
+    cents = train_ivf_centroids(corpus, id_col, vec_col, n_centroids, lloyd_iters)
 
     dim_full = len(cents[0])
     for _ in range(distributed_refine_iters):
@@ -663,70 +781,9 @@ def cosine_topk_ivf(
                 m = np.array([r[f"s{d}"] for d in range(dim_full)]) / r["n"]
                 cents[r["__c"]] = m / np.linalg.norm(m)
 
-    bc = spark.sparkContext.broadcast(cents)
-
-    id_field = corpus.schema[id_col]
-
-    def assign_gen(batches):
-        C = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            pdf = pdf.copy()
-            pdf["__cluster"] = np.argmax(An @ C.T, axis=1).astype("int32")
-            yield pdf
-
-    assigned_schema = StructType(
-        list(corpus.select(id_col, vec_col).schema.fields)
-        + [StructField("__cluster", IntegerType())]
-    )
-    tagged_corpus = corpus.select(id_col, vec_col).mapInPandas(
-        assign_gen, schema=assigned_schema
-    )
-
-    def probe_gen(batches):
-        C = bc.value
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            A = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            sims = An @ C.T
-            order = np.argsort(-sims, axis=1)[:, :n_probe]
-            rows = pdf.loc[pdf.index.repeat(n_probe)].copy()
-            rows["__cluster"] = order.reshape(-1).astype("int32")
-            yield rows
-
-    probed_queries = queries.select(id_col, vec_col).mapInPandas(
-        probe_gen, schema=assigned_schema
-    )
-
+    tagged_corpus = ivf_assign(corpus, cents, id_col, vec_col)
+    probed_queries = ivf_probe(queries, cents, id_col, vec_col, n_probe)
     dim = vector_dim(corpus, vec_col)
-    q = probed_queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double_vec(F.col(vec_col)).alias("__qv"),
-        "__cluster",
-    ).withColumn("__qn", l2_norm(F.col("__qv")))
-    c = tagged_corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double_vec(F.col(vec_col)).alias("__cv"),
-        "__cluster",
-    ).withColumn("__cn", l2_norm(F.col("__cv")))
-    scored = q.join(c, "__cluster").select(
-        "query_id",
-        "neighbor_id",
-        F.round(
-            dot_expr("__qv", "__cv", dim) / (F.col("__qn") * F.col("__cn")),
-            decimals,
-        ).alias("cosine"),
-    ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "cosine")
+    return ivf_score_topk(
+        probed_queries, tagged_corpus, vec_col, id_col, k, decimals, dim
     )

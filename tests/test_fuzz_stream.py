@@ -29,3 +29,18 @@ def test_stream_fuzz_case(spark, case):
     spec["__assign_seed"] = SEED * 7_000_003 + case + 500_000
     fail = run_case(spec, spark)
     assert fail is None, fail
+
+
+@pytest.mark.parametrize("case", range(2))
+def test_stream_fuzz_racy_restart(spark, case):
+    """Round-14 restart_racy family tripwire: a kill-mid-batch restart
+    on the same checkpoint + parquet sink must still hash-equal the
+    batch twin (exactly-once via the sink's _spark_metadata commit log
+    + checkpoint replay). Two cases — each runs 2-3 streaming starts."""
+    rng = random.Random(SEED * 7_000_003 + 100 + case)
+    spec = gen_case(rng)
+    spec["racy"], spec["two_phase"] = True, False
+    spec["__assign_seed"] = SEED * 7_000_003 + 100 + case + 500_000
+    fail = run_case(spec, spark)
+    assert fail is None, fail
+    assert spec.get("kills", 0) >= 0  # kill count recorded by run_racy

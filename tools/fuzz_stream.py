@@ -52,8 +52,16 @@ values are multiples of 0.25 (exact in binary, any summation order);
 timestamps are compared as unix_micros longs; both sides read the same
 parquet through the same session (timezone cancels).
 
+Restart coverage: the default mix includes the deterministic two-phase
+cold restart (35% of eligible cases); ``--force-racy`` instead drains
+EVERY case through a kill-mid-batch restart (random in-flight
+``stop()`` via timer or completed-batch trigger, restart on the same
+checkpoint + parquet sink — see run_racy). ``--provider hdfs`` replays
+on the HDFS-backed state store (default: RocksDB).
+
 Usage: python tools/fuzz_stream.py [--n N] [--seed S | --seeds A,B,..]
                                    [--out FUZZ_STREAM.json]
+                                   [--force-racy] [--provider hdfs]
 Writes FUZZ_STREAM.json at the repo root; exit 1 on any divergence.
 """
 
@@ -273,6 +281,63 @@ def run_stream(spark, df) -> str:
     return name
 
 
+def run_racy(make_df, rng: random.Random) -> tuple[str, str, int]:
+    """Kill-during-batch restart (round-14 VERDICT item #1): drain the
+    fully-staged files to a parquet sink under availableNow, but kill
+    the query at a racy in-flight point — a uniform wall-clock timer or
+    a completed-batch-count trigger (which lands the ``stop()`` inside
+    the NEXT batch's planning/execution) — then restart on the SAME
+    checkpoint + sink, possibly kill again, and finally run to
+    completion. Unlike the deterministic ``two_phase`` family there is
+    NO clean phase boundary: the kill can interrupt state-store
+    commits, offset-log writes, or the sink's file commit. Correctness
+    rests on the exactly-once contract this engine's batch loads model
+    (reference core/database_loader.py:159-189): the FileStreamSink's
+    _spark_metadata commit log masks orphaned files from aborted
+    batches, and checkpoint recovery replays the interrupted batch —
+    so the committed output must hash-equal the single-run batch twin.
+    Returns (sink, ckpt, n_kills); caller reads the sink (the batch
+    reader honors _spark_metadata) and removes both dirs."""
+    sink = tempfile.mkdtemp(prefix="fzs_rsink_")
+    ckpt = tempfile.mkdtemp(prefix="fzs_rck_")
+
+    def start():
+        return (
+            make_df().writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    kills = 0
+    for _ in range(rng.randint(1, 2)):
+        q = start()
+        if rng.random() < 0.5:
+            done = q.awaitTermination(rng.uniform(0.2, 3.0))
+        else:
+            target = rng.randint(0, 4)
+            done, t0 = False, time.time()
+            while not done and time.time() - t0 < 120:
+                done = q.awaitTermination(0.05)
+                lp = q.lastProgress
+                if lp is not None and lp["batchId"] >= target:
+                    break
+        if not done:
+            q.stop()
+            # the restart must not race the dying query's checkpoint
+            # lock — wait for full termination first
+            q.awaitTermination(120)
+            kills += 1
+    q = start()
+    ok = q.awaitTermination(300)
+    if not ok:
+        q.stop()
+        raise RuntimeError("racy-restart final run did not terminate in 300s")
+    return sink, ckpt, kills
+
+
 def run_two_phase(make_df, finishers) -> tuple[str, str]:
     """Cold-restart-from-checkpoint: drain the phase-1 files into a
     parquet sink, stop (availableNow terminates), write the phase-2
@@ -338,7 +403,11 @@ def run_case(spec: dict, spark) -> dict | None:
         stream_with_watermark_dedup,
     )
 
-    rng = random.Random(spec.pop("__assign_seed"))
+    assign_seed = spec.pop("__assign_seed")
+    rng = random.Random(assign_seed)
+    # independent stream for kill timing: the racy family's whole point
+    # is that WHEN the kill lands is decoupled from WHAT was generated
+    kill_rng = random.Random(assign_seed ^ 0x5EED)
     family, blocks, window = spec["family"], spec["blocks"], spec["window"]
     delay = spec["delay_s"]
     wm_str = f"{delay} seconds"
@@ -399,8 +468,11 @@ def run_case(spec: dict, spark) -> dict | None:
                     band_seconds=band, watermark=wm_str, how=how,
                 ).select("l_event", "r_event")
 
-            if spec["two_phase"]:
-                sink, ck2 = run_two_phase(make_join, [fin_l, fin_r])
+            if spec.get("racy") or spec["two_phase"]:
+                if spec.get("racy"):
+                    sink, ck2, spec["kills"] = run_racy(make_join, kill_rng)
+                else:
+                    sink, ck2 = run_two_phase(make_join, [fin_l, fin_r])
                 dirs += [sink, ck2]
                 got = spark.read.schema("l_event long, r_event long").parquet(sink)
             else:
@@ -484,8 +556,11 @@ def run_case(spec: dict, spark) -> dict | None:
                         reader(spark, d), "ts", ["event_id"], watermark=wm_str
                     )
 
-                if spec["two_phase"]:
-                    sink, ck2 = run_two_phase(make_dedup, [fin])
+                if spec.get("racy") or spec["two_phase"]:
+                    if spec.get("racy"):
+                        sink, ck2, spec["kills"] = run_racy(make_dedup, kill_rng)
+                    else:
+                        sink, ck2 = run_two_phase(make_dedup, [fin])
                     dirs += [sink, ck2]
                     got = spark.read.schema(EVENT_DDL).parquet(sink).select(
                         "event_id", "user_id",
@@ -514,8 +589,11 @@ def run_case(spec: dict, spark) -> dict | None:
                         reader(spark, d), gap_minutes=gap_min, watermark=wm_str
                     )
 
-                if spec["two_phase"]:
-                    sink, ck2 = run_two_phase(make_sess, [fin])
+                if spec.get("racy") or spec["two_phase"]:
+                    if spec.get("racy"):
+                        sink, ck2, spec["kills"] = run_racy(make_sess, kill_rng)
+                    else:
+                        sink, ck2 = run_two_phase(make_sess, [fin])
                     dirs += [sink, ck2]
                     got = spark.read.schema(
                         "user_id long, session_start timestamp, "
@@ -601,23 +679,42 @@ def main() -> int:
     else:
         seeds = [int(args[args.index("--seed") + 1]) if "--seed" in args else 13]
     out_name = args[args.index("--out") + 1] if "--out" in args else "FUZZ_STREAM.json"
-
-    spark = get_spark(
-        app_name="fuzz_stream",
-        conf={
-            "spark.ui.enabled": "false",
-            "spark.sql.shuffle.partitions": "2",
-        },
+    # --force-racy: every case drains through run_racy (kill-mid-batch
+    # restart on a parquet sink) instead of a single memory-sink run —
+    # the round-14 restart_racy family. two_phase is disabled (the two
+    # restart modes are separate runners).
+    force_racy = "--force-racy" in args
+    # --provider hdfs: replay on the HDFS-backed state store (engine
+    # default is RocksDB) — the provider-independence axis.
+    provider = (
+        args[args.index("--provider") + 1] if "--provider" in args else "rocksdb"
     )
+    conf = {
+        "spark.ui.enabled": "false",
+        "spark.sql.shuffle.partitions": "2",
+    }
+    if provider == "hdfs":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "HDFSBackedStateStoreProvider"
+        )
+    elif provider != "rocksdb":
+        raise SystemExit(f"--provider must be rocksdb or hdfs: {provider!r}")
+
+    spark = get_spark(app_name="fuzz_stream", conf=conf)
     failures = []
     t0 = time.time()
     total = 0
+    kills_total = 0
     fam_counts: dict = {}
     for seed in seeds:
         for i in range(n):
             total += 1
             rng = random.Random(seed * 7_000_003 + i)
             spec = gen_case(rng)
+            if force_racy:
+                spec["racy"] = True
+                spec["two_phase"] = False
             spec["__assign_seed"] = seed * 7_000_003 + i + 500_000
             fam_counts[spec["family"]] = fam_counts.get(spec["family"], 0) + 1
             try:
@@ -630,6 +727,7 @@ def main() -> int:
                         if k not in ("rows", "dups", "left", "right")
                     },
                 }
+            kills_total += spec.get("kills", 0)
             if fail:
                 failures.append({"seed": seed, "case": i, **fail})
                 print(f"FAIL seed {seed} case {i}: {json.dumps(fail)[:400]}",
@@ -642,6 +740,9 @@ def main() -> int:
                 )
     out = {
         "seeds": seeds, "cases": total, "families": fam_counts,
+        "provider": provider,
+        "restart": "racy" if force_racy else "two_phase_mix",
+        "kills": kills_total,
         "failures": failures, "elapsed_sec": round(time.time() - t0, 1),
     }
     with open(os.path.join(REPO, out_name), "w") as f:
