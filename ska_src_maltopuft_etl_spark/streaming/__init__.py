@@ -18,6 +18,10 @@ from ska_src_maltopuft_etl_spark.streaming.ingest import (
     stream_run_summaries,
     stream_with_watermark_dedup,
 )
+from ska_src_maltopuft_etl_spark.streaming.tws import (
+    sessionize_events_tws,
+    tws_available,
+)
 
 __all__ = [
     "curate_batch",
@@ -29,7 +33,9 @@ __all__ = [
     "resolve_beams_stream",
     "run_curation_stream",
     "sessionize_events",
+    "sessionize_events_tws",
     "stream_run_summaries",
     "stream_spccl",
     "stream_with_watermark_dedup",
+    "tws_available",
 ]

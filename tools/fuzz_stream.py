@@ -281,7 +281,7 @@ def run_stream(spark, df) -> str:
     return name
 
 
-def run_racy(make_df, rng: random.Random) -> tuple[str, str, int]:
+def run_racy(make_df, rng: random.Random, finishers) -> tuple[str, str, int]:
     """Kill-during-batch restart (round-14 VERDICT item #1): drain the
     fully-staged files to a parquet sink under availableNow, but kill
     the query at a racy in-flight point — a uniform wall-clock timer or
@@ -330,6 +330,20 @@ def run_racy(make_df, rng: random.Random) -> tuple[str, str, int]:
             # lock — wait for full termination first
             q.awaitTermination(120)
             kills += 1
+    # The flush-sentinel block is written only NOW, after the kill
+    # phase: a kill can land after the last data batch committed but
+    # before the no-data flush batch, losing that batch's watermark
+    # advance (it is persisted only in the NEXT offset entry) — if the
+    # sentinel were already consumed by a killed run, the final clean
+    # run would see no new data, restore the stale watermark, and
+    # terminate without emitting watermark-gated output (sealed
+    # sessions, leftOuter null-extensions). Deferring the sentinel
+    # guarantees the final run always processes >= 1 fresh row, always
+    # re-derives the watermark past everything, and always runs the
+    # flush batch — closing the window deterministically while leaving
+    # the kill race itself fully exercised on the data batches.
+    for fin in finishers:
+        fin()
     q = start()
     ok = q.awaitTermination(300)
     if not ok:
@@ -418,6 +432,28 @@ def run_case(spec: dict, spark) -> dict | None:
     # arrives after the anchor except the probe itself, which sits at
     # EXACTLY the watermark (kept: Spark's late filter is ts >= wm).
     total_blocks = blocks + (2 if spec["boundary"] else 0)
+    # Racy-restart flush sentinel (round-14 finding, diagnosed
+    # state-INTACT via a watermark-nudge probe): Spark persists a
+    # batch's watermark advance only in the NEXT offset-log entry, so a
+    # kill landing after the last data batch but before the final
+    # no-data flush batch loses that advance — the restarted
+    # availableNow run restores the previous watermark, sees no new
+    # data, and terminates WITHOUT emitting the leftOuter
+    # null-extensions / sealed sessions the ideal final watermark
+    # covers. The rows are delayed, not lost (appending a far-future
+    # row and re-running the same checkpoint emitted every one), which
+    # is documented watermark semantics: emission is deferred to the
+    # next run with data. The twin models the ideal final watermark, so
+    # racy cases append ONE sentinel row (far-future ts, last block,
+    # both sides for joins) that every engine sees — the final clean
+    # run then has new data, re-derives the watermark past everything,
+    # and flushes deterministically; the kill race itself is untouched.
+    racy = bool(spec.get("racy"))
+    sent_ts = (
+        window + 2 * delay + 2 * spec["grid"] + spec.get("band", 0) + 3600
+    )
+    if racy:
+        total_blocks += 1
     dirs, views = [], []
 
     def boundary_pair(nxt):
@@ -448,7 +484,20 @@ def run_case(spec: dict, spark) -> dict | None:
                 nxt += 1
                 rwb.append(r_anchor)
                 rrows = rrows + [r_anchor[0]]
-            split = max(1, total_blocks // 2) if spec["two_phase"] else None
+            if racy:
+                # flush sentinel on BOTH sides (global wm = min over
+                # sides); far beyond every row + band, so it matches
+                # only its own mirror — both engines model it
+                s_l = ((9_000_000, 0, sent_ts, 0.25), total_blocks - 1)
+                s_r = ((9_000_001, 0, sent_ts, 0.25), total_blocks - 1)
+                lwb.append(s_l)
+                lrows = lrows + [s_l[0]]
+                rwb.append(s_r)
+                rrows = rrows + [s_r[0]]
+            if racy:
+                split = total_blocks - 1  # sentinel block deferred
+            else:
+                split = max(1, total_blocks // 2) if spec["two_phase"] else None
             dl, fin_l = stage(lwb, total_blocks, split)
             dr, fin_r = stage(rwb, total_blocks, split)
             dirs += [dl, dr]
@@ -470,7 +519,9 @@ def run_case(spec: dict, spark) -> dict | None:
 
             if spec.get("racy") or spec["two_phase"]:
                 if spec.get("racy"):
-                    sink, ck2, spec["kills"] = run_racy(make_join, kill_rng)
+                    sink, ck2, spec["kills"] = run_racy(
+                        make_join, kill_rng, [fin_l, fin_r]
+                    )
                 else:
                     sink, ck2 = run_two_phase(make_join, [fin_l, fin_r])
                 dirs += [sink, ck2]
@@ -545,8 +596,16 @@ def run_case(spec: dict, spark) -> dict | None:
                 dwb.append((r, min(nat + 1, blocks - 1)))
             extra, _ = boundary_pair(nxt)
             allwb = rwb + dwb + extra
+            if racy:
+                # flush sentinel: unique id (dedup passes it through),
+                # far-future ts (sessionize opens a new never-emitted
+                # session for user 0 in BOTH engines)
+                allwb = allwb + [((9_000_000, 0, sent_ts, 0.25), total_blocks - 1)]
             full = [r for r, _ in allwb]
-            split = max(1, total_blocks // 2) if spec["two_phase"] else None
+            if racy:
+                split = total_blocks - 1  # sentinel block deferred
+            else:
+                split = max(1, total_blocks // 2) if spec["two_phase"] else None
             d, fin = stage(allwb, total_blocks, split)
             dirs.append(d)
 
@@ -558,7 +617,9 @@ def run_case(spec: dict, spark) -> dict | None:
 
                 if spec.get("racy") or spec["two_phase"]:
                     if spec.get("racy"):
-                        sink, ck2, spec["kills"] = run_racy(make_dedup, kill_rng)
+                        sink, ck2, spec["kills"] = run_racy(
+                            make_dedup, kill_rng, [fin]
+                        )
                     else:
                         sink, ck2 = run_two_phase(make_dedup, [fin])
                     dirs += [sink, ck2]
@@ -591,7 +652,9 @@ def run_case(spec: dict, spark) -> dict | None:
 
                 if spec.get("racy") or spec["two_phase"]:
                     if spec.get("racy"):
-                        sink, ck2, spec["kills"] = run_racy(make_sess, kill_rng)
+                        sink, ck2, spec["kills"] = run_racy(
+                            make_sess, kill_rng, [fin]
+                        )
                     else:
                         sink, ck2 = run_two_phase(make_sess, [fin])
                     dirs += [sink, ck2]
