@@ -539,6 +539,74 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_index",
+    oracle="""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(c.embedding AS DOUBLE[])), 5) AS cosine
+           FROM q CROSS JOIN c),
+         ranked AS (
+           SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id ASC) AS rank
+           FROM scored)
+    SELECT query_id, rank, neighbor_id, cosine, TRUE AS index_recall_ok
+    FROM ranked WHERE rank <= 5
+    """,
+    covers=("J1", "W1"),
+    description=(
+        "PERSISTED IVF index (operators/ivf_index.py, round 14): build "
+        "on 80% of the corpus (vec_id % 5 != 0), incremental-update the "
+        "remaining 20% against the frozen centroids, then answer from "
+        "the parquet inverted lists with NO re-training or corpus pass. "
+        "Same certification shape as knn_cosine_ivf: the result is the "
+        "exact top-5 plus a flag that the INDEX query recovered >= 2 of "
+        "each query's exact top-5 (probing 4 of 8 centroids), so the "
+        "hash match certifies the build+update+query recall contract."
+    ),
+)
+def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed variant of `knn_cosine_ivf`: the repeated-query ANN
+    path a 100 TB corpus needs — centroids + inverted lists persist;
+    a query batch costs only a probe expansion + equi-join."""
+    import hashlib
+    import os
+
+    from ska_src_maltopuft_etl_spark.operators.ivf_index import IvfIndex
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 10)
+    c = e.where(F.col("vec_id") >= 10)
+    base = c.where(F.col("vec_id") % 5 != 0)
+    rest = c.where(F.col("vec_id") % 5 == 0)
+    # Deterministic per-SF location (NOT a per-run tempdir: the
+    # returned DataFrame is lazy — the driver evaluates it after this
+    # function returns, so the index files must outlive the call).
+    # build() overwrites, so re-runs are idempotent.
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    idx = IvfIndex(
+        spark, f"/tmp/sparkgraft_ivf_idx_{tag}", n_centroids=8
+    )
+    idx.build(base)
+    idx.update(rest)
+    exact = similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=5)
+    approx = idx.query(q, k=5, n_probe=4)
+    hits = exact.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    )
+    recall = hits.groupBy("query_id").agg(
+        (F.count(F.lit(1)) >= 2).alias("index_recall_ok")
+    )
+    return exact.join(F.broadcast(recall), "query_id", "left").withColumn(
+        "index_recall_ok", F.coalesce("index_recall_ok", F.lit(False))
+    )
+
+
+@register(
     "corpus_clean_pipeline",
     oracle="""
     WITH toks AS (

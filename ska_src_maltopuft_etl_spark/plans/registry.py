@@ -151,6 +151,18 @@ from ska_src_maltopuft_etl_spark.plans.meertrap import parity  # noqa: E402,F401
 # cumulative count after certification is 156/156 — no query ever
 # registered remains window-never-held.
 _TAIL = [
+    # Round 14: `ann_ivf_index` (persisted-IVF variant of the certified
+    # knn_cosine_ivf) registers in the TAIL — the window does not
+    # rotate for an ADDITION (its §2 covers J1/W1 are multiply held
+    # in-window), so it is sweep-certified (468+/468+ three-SF value
+    # hash) rather than window-certified; the underlying IvfIndex also
+    # carries its own bit-equality property tests vs the window-
+    # certified one-shot form (tests/test_ivf_index.py). The round-14
+    # cosine_topk_ivf refactor (train/assign/probe/score helpers
+    # extracted verbatim) is behavior-identical and was oracle
+    # re-verified on knn_cosine_ivf/dedup_embedding_cosine immediately
+    # after the edit.
+    "ann_ivf_index",
     # Round 13: NO rotation. No registry-covered operator changed
     # behavior this round — the joins.py edits are a docstring and an
     # isinstance guard on an invariant-protected path (re-pinned by a
