@@ -671,11 +671,13 @@ def main() -> int:
     failures = []
     t0 = time.time()
     total = 0
+    fam_counts: dict = {}
     for seed in seeds:
         for i in range(n):
             total += 1
             rng = random.Random(seed * 1_000_003 + i)
             spec = gen_spec(rng, stats, window_cap=window_cap)
+            fam_counts[spec["kind"]] = fam_counts.get(spec["kind"], 0) + 1
             try:
                 fail = run_case(spec, tables, con)
             except Exception as exc:  # engine error is a finding too
@@ -691,6 +693,9 @@ def main() -> int:
     out = {
         "seeds": seeds,
         "cases": total,
+        # per-family counts (round-14 VERDICT item #2: FUZZ_X100.json
+        # previously omitted them)
+        "families": fam_counts,
         "sf_dir": sf_dir,
         "window_cap": window_cap,
         "failures": failures,
