@@ -311,24 +311,39 @@ def run_racy(make_df, rng: random.Random, finishers) -> tuple[str, str, int]:
             .start()
         )
 
+    from pyspark.errors import StreamingQueryException
+
     kills = 0
     for _ in range(rng.randint(1, 2)):
         q = start()
-        if rng.random() < 0.5:
-            done = q.awaitTermination(rng.uniform(0.2, 3.0))
-        else:
-            target = rng.randint(0, 4)
-            done, t0 = False, time.time()
-            while not done and time.time() - t0 < 120:
-                done = q.awaitTermination(0.05)
-                lp = q.lastProgress
-                if lp is not None and lp["batchId"] >= target:
-                    break
+        try:
+            if rng.random() < 0.5:
+                done = q.awaitTermination(rng.uniform(0.2, 3.0))
+            else:
+                target = rng.randint(0, 4)
+                done, t0 = False, time.time()
+                while not done and time.time() - t0 < 120:
+                    done = q.awaitTermination(0.05)
+                    lp = q.lastProgress
+                    if lp is not None and lp["batchId"] >= target:
+                        break
+        except StreamingQueryException as exc:
+            # the query died WITHOUT a stop() this attempt — a genuine
+            # restart-recovery failure, not kill noise: a finding
+            raise RuntimeError(f"racy attempt crashed pre-kill: {exc}") from exc
         if not done:
             q.stop()
-            # the restart must not race the dying query's checkpoint
-            # lock — wait for full termination first
-            q.awaitTermination(120)
+            # The restart must not race the dying query's checkpoint
+            # lock — wait for full termination. stop() cancels the
+            # in-flight batch, and Spark sometimes records that
+            # cancellation as the query's exception (a race between the
+            # job-cancel error and the stop flag); that kill-induced
+            # failure is expected noise, NOT a finding — correctness is
+            # judged on the final clean run + the committed sink.
+            try:
+                q.awaitTermination(120)
+            except StreamingQueryException:
+                pass
             kills += 1
     # The flush-sentinel block is written only NOW, after the kill
     # phase: a kill can land after the last data batch committed but
@@ -345,7 +360,10 @@ def run_racy(make_df, rng: random.Random, finishers) -> tuple[str, str, int]:
     for fin in finishers:
         fin()
     q = start()
-    ok = q.awaitTermination(300)
+    try:
+        ok = q.awaitTermination(300)
+    except StreamingQueryException as exc:
+        raise RuntimeError(f"racy FINAL run crashed: {exc}") from exc
     if not ok:
         q.stop()
         raise RuntimeError("racy-restart final run did not terminate in 300s")
