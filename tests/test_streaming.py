@@ -821,3 +821,54 @@ def test_sessionize_tws_guarded(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["n_events"] == 2
     assert rows[0]["total_value"] == 4.0
+
+
+def test_sessionize_empty_batch_rearms_timeout(spark, tmp_path):
+    """Round-14 advice pin: a micro-batch whose rows for a stateful key
+    all have NULL event times (dropped by the NULL-axis rule) takes the
+    empty early return — which must defensively RE-ARM the event-time
+    timeout from the stored spans, because the Scala GroupState contract
+    documents timeouts as reset on every invocation. Batch layout:
+
+    a: user 1 opens a session;
+    b: user 1 arrives again with ONLY a NULL-ts row (empty after the
+       notna filter -> early-return path for user 1's existing state);
+    c: user 2 far in the future advances the watermark past user 1's
+       end + gap -> the re-armed timeout must fire and emit."""
+    import json as _json
+
+    from ska_src_maltopuft_etl_spark.streaming import sessionize_events
+
+    data = tmp_path / "events_rearm"
+    data.mkdir()
+    (data / "a.json").write_text(
+        _json.dumps({"user_id": 1, "ts": "2024-01-01T00:00:00.000Z", "value": 2.0})
+    )
+    (data / "b.json").write_text(
+        _json.dumps({"user_id": 1, "ts": None, "value": 5.0})
+    )
+    (data / "c.json").write_text(
+        _json.dumps({"user_id": 2, "ts": "2024-01-01T06:00:00.000Z", "value": 1.0})
+    )
+    schema = "user_id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .json(str(data))
+    )
+    q = (
+        sessionize_events(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName("sessions_rearm")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120) is True
+    rows = spark.sql("SELECT * FROM sessions_rearm").collect()
+    # user 1's session emitted (NULL-ts row contributed nothing);
+    # user 2's still open
+    assert len(rows) == 1
+    assert rows[0]["user_id"] == 1
+    assert rows[0]["n_events"] == 1
+    assert rows[0]["total_value"] == 2.0
