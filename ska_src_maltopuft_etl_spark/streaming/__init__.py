@@ -18,13 +18,19 @@ from ska_src_maltopuft_etl_spark.streaming.ingest import (
     stream_run_summaries,
     stream_with_watermark_dedup,
 )
+from ska_src_maltopuft_etl_spark.streaming.recovery import (
+    clear_aborted_batch0,
+    is_aborted_batch0,
+)
 from ska_src_maltopuft_etl_spark.streaming.tws import (
     sessionize_events_tws,
     tws_available,
 )
 
 __all__ = [
+    "clear_aborted_batch0",
     "curate_batch",
+    "is_aborted_batch0",
     "eval_gram_table",
     "flag_contaminated_stream",
     "join_event_streams",

@@ -4,6 +4,7 @@ driven with availableNow triggers over static fixture directories."""
 from __future__ import annotations
 
 import json
+import os
 import time
 
 from ska_src_maltopuft_etl_spark.streaming import stream_run_summaries
@@ -872,3 +873,91 @@ def test_sessionize_empty_batch_rearms_timeout(spark, tmp_path):
     assert rows[0]["user_id"] == 1
     assert rows[0]["n_events"] == 1
     assert rows[0]["total_value"] == 2.0
+
+
+def test_batch0_recovery_contract(spark, tmp_path):
+    """Round-14 racy-restart finding #2 (streaming/recovery.py): a kill
+    during the very FIRST offset-log write leaves residue in
+    {ckpt}/offsets with no committed entry; Spark then treats the
+    restart as a NEW query and refuses the non-empty directory
+    (STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY) — on every retry. The
+    remedy is provably exactly-once-safe (nothing was ever committed):
+
+    1. the wedged signature raises on restart (pinned against the real
+       engine, not just the fuzzer's observation);
+    2. clear_aborted_batch0 clears it and the SAME checkpoint+sink then
+       drains to the exact batch answer;
+    3. the helper REFUSES a checkpoint with a committed entry and a
+       sink with a committed _spark_metadata batch (the two unsafe
+       lineages)."""
+    from pyspark.errors import StreamingQueryException
+
+    from ska_src_maltopuft_etl_spark.streaming import (
+        clear_aborted_batch0,
+        is_aborted_batch0,
+        stream_with_watermark_dedup,
+    )
+
+    src = tmp_path / "b0_src"
+    src.mkdir()
+    pdf = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:00:00", 1.0),
+         (1, 10, "2024-01-01 00:00:00", 1.0),  # exact duplicate
+         (2, 11, "2024-01-01 00:01:00", 2.0)],
+        "event_id long, user_id long, ts string, value double",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) ts", "value")
+    pdf.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    sink = str(tmp_path / "b0_sink")
+    ckpt = str(tmp_path / "b0_ckpt")
+    # forge the kill-during-batch-0 residue: offsets/ exists, holds only
+    # an uncommitted temp file (HDFSMetadataLog's .N.<uuid>.tmp shape)
+    os.makedirs(os.path.join(ckpt, "offsets"))
+    with open(os.path.join(ckpt, "offsets", ".0.7f3a.tmp"), "w") as f:
+        f.write("v1\n")
+    assert is_aborted_batch0(ckpt)
+
+    def start():
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, ts timestamp, value double"
+            ).parquet(str(src))
+        )
+        return (
+            stream_with_watermark_dedup(stream, "ts", ["event_id"])
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.awaitTermination(120)
+        raise AssertionError("wedged checkpoint should refuse to start")
+    except StreamingQueryException as exc:
+        assert "STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY" in str(exc)
+
+    assert clear_aborted_batch0(ckpt, sink_path=sink) is True
+    q = start()
+    assert q.awaitTermination(120) is True
+    got = sorted(
+        (r["event_id"], r["user_id"], r["value"])
+        for r in spark.read.parquet(sink).collect()
+    )
+    assert got == [(1, 10, 1.0), (2, 11, 2.0)]
+
+    # refusal path A: the now-committed checkpoint must never be cleared
+    assert not is_aborted_batch0(ckpt)
+    assert clear_aborted_batch0(ckpt, sink_path=sink) is False
+    assert os.path.isdir(os.path.join(ckpt, "offsets"))
+
+    # refusal path B: wedged ckpt + sink that already committed batches
+    ckpt2 = str(tmp_path / "b0_ckpt2")
+    os.makedirs(os.path.join(ckpt2, "offsets"))
+    with open(os.path.join(ckpt2, "offsets", ".0.9e2b.tmp"), "w") as f:
+        f.write("v1\n")
+    assert clear_aborted_batch0(ckpt2, sink_path=sink) is False
+    assert os.path.exists(os.path.join(ckpt2, "offsets", ".0.9e2b.tmp"))

@@ -313,7 +313,10 @@ def run_racy(make_df, rng: random.Random, finishers) -> tuple[str, str, int]:
 
     from pyspark.errors import StreamingQueryException
 
+    from ska_src_maltopuft_etl_spark.streaming import clear_aborted_batch0
+
     kills = 0
+    recoveries = 0
     for _ in range(rng.randint(1, 2)):
         q = start()
         try:
@@ -328,6 +331,19 @@ def run_racy(make_df, rng: random.Random, finishers) -> tuple[str, str, int]:
                     if lp is not None and lp["batchId"] >= target:
                         break
         except StreamingQueryException as exc:
+            if "STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY" in str(exc):
+                # round-14 finding #2: the PREVIOUS kill interrupted the
+                # batch-0 offset-log write; with zero committed entries
+                # the restart treats the query as new and refuses the
+                # non-empty offsets dir. Apply the production remedy
+                # (streaming/recovery.py) — provably exactly-once-safe
+                # because nothing was ever committed — and keep going.
+                if not clear_aborted_batch0(ckpt, sink_path=sink):
+                    raise RuntimeError(
+                        f"batch0 recovery preconditions failed: {exc}"
+                    ) from exc
+                recoveries += 1
+                continue
             # the query died WITHOUT a stop() this attempt — a genuine
             # restart-recovery failure, not kill noise: a finding
             raise RuntimeError(f"racy attempt crashed pre-kill: {exc}") from exc
@@ -363,11 +379,23 @@ def run_racy(make_df, rng: random.Random, finishers) -> tuple[str, str, int]:
     try:
         ok = q.awaitTermination(300)
     except StreamingQueryException as exc:
-        raise RuntimeError(f"racy FINAL run crashed: {exc}") from exc
+        if "STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY" in str(
+            exc
+        ) and clear_aborted_batch0(ckpt, sink_path=sink):
+            recoveries += 1
+            q = start()
+            try:
+                ok = q.awaitTermination(300)
+            except StreamingQueryException as exc2:
+                raise RuntimeError(
+                    f"racy FINAL run crashed after batch0 recovery: {exc2}"
+                ) from exc2
+        else:
+            raise RuntimeError(f"racy FINAL run crashed: {exc}") from exc
     if not ok:
         q.stop()
         raise RuntimeError("racy-restart final run did not terminate in 300s")
-    return sink, ckpt, kills
+    return sink, ckpt, kills, recoveries
 
 
 def run_two_phase(make_df, finishers) -> tuple[str, str]:
@@ -537,7 +565,7 @@ def run_case(spec: dict, spark) -> dict | None:
 
             if spec.get("racy") or spec["two_phase"]:
                 if spec.get("racy"):
-                    sink, ck2, spec["kills"] = run_racy(
+                    sink, ck2, spec["kills"], spec["b0_rec"] = run_racy(
                         make_join, kill_rng, [fin_l, fin_r]
                     )
                 else:
@@ -635,7 +663,7 @@ def run_case(spec: dict, spark) -> dict | None:
 
                 if spec.get("racy") or spec["two_phase"]:
                     if spec.get("racy"):
-                        sink, ck2, spec["kills"] = run_racy(
+                        sink, ck2, spec["kills"], spec["b0_rec"] = run_racy(
                             make_dedup, kill_rng, [fin]
                         )
                     else:
@@ -670,7 +698,7 @@ def run_case(spec: dict, spark) -> dict | None:
 
                 if spec.get("racy") or spec["two_phase"]:
                     if spec.get("racy"):
-                        sink, ck2, spec["kills"] = run_racy(
+                        sink, ck2, spec["kills"], spec["b0_rec"] = run_racy(
                             make_sess, kill_rng, [fin]
                         )
                     else:
@@ -787,6 +815,7 @@ def main() -> int:
     t0 = time.time()
     total = 0
     kills_total = 0
+    b0_total = 0
     fam_counts: dict = {}
     for seed in seeds:
         for i in range(n):
@@ -809,6 +838,7 @@ def main() -> int:
                     },
                 }
             kills_total += spec.get("kills", 0)
+            b0_total += spec.get("b0_rec", 0)
             if fail:
                 failures.append({"seed": seed, "case": i, **fail})
                 print(f"FAIL seed {seed} case {i}: {json.dumps(fail)[:400]}",
@@ -824,6 +854,9 @@ def main() -> int:
         "provider": provider,
         "restart": "racy" if force_racy else "two_phase_mix",
         "kills": kills_total,
+        # kill-during-batch-0 checkpoints recovered via
+        # streaming.recovery.clear_aborted_batch0 (round-14 finding #2)
+        "batch0_recoveries": b0_total,
         "failures": failures, "elapsed_sec": round(time.time() - t0, 1),
     }
     with open(os.path.join(REPO, out_name), "w") as f:
