@@ -79,7 +79,14 @@ def bloom_might_contain(
 ) -> Column:
     """Membership test against the bitmap shipped as one array<long>
     plan literal — codegen-friendly integer arithmetic only."""
-    arr = F.lit(bitmap)
+    import numpy as np
+
+    # One TYPED literal: F.lit(list) expands to array(lit, lit, ...) —
+    # one Py4J call and one expression-tree node PER WORD (4096 of each
+    # at the default m_bits), which dominated this operator's plan-build
+    # and analysis time (measured ~2.3 s/call). A 1-D numpy int64 array
+    # crosses Py4J as a single ArrayType Literal.
+    arr = F.lit(np.asarray(bitmap, dtype=np.int64))
     cond = None
     for pos in _positions(key, m_bits, k):
         word = F.element_at(arr, (pos / 32).cast("int") + 1)

@@ -134,7 +134,13 @@ def surrogate_key(
         rows.append((r["__pid"], running))
         running += r["__cnt"]
     spark = df.sparkSession
-    offsets = spark.createDataFrame(rows, "__pid long, __poffset long")
+    # ONE slice: the default createDataFrame parallelizes this tiny
+    # list over defaultParallelism pickled partitions, and the
+    # broadcast build then pays a Python-worker round-trip per
+    # partition (measured ~0.4 s of pure overhead on local[32]).
+    offsets = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), "__pid long, __poffset long"
+    )
     return (
         local.withColumn("__pid", pid)
         .join(F.broadcast(offsets), "__pid")

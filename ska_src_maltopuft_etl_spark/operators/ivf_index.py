@@ -53,8 +53,21 @@ from ska_src_maltopuft_etl_spark.operators.similarity import (
     ivf_probe,
     ivf_score_topk,
     train_ivf_centroids,
-    vector_dim,
 )
+
+
+def _local_df_1part(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Tiny driver-local frame as ONE partition.
+
+    ``spark.createDataFrame(rows, schema)`` parallelizes over
+    ``defaultParallelism`` pickled Python partitions; any downstream
+    single-task consumer (``coalesce(1)`` writes, broadcast builds)
+    then pays one Python-worker round-trip PER PARENT PARTITION —
+    measured 4.2 s vs 0.3 s for an 8-row centroid write on local[32]
+    (guide §4: control how data crosses the Python boundary). One
+    slice = one round-trip, at any cluster size (the data is
+    driver-resident either way)."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
 
 
 class IvfIndex:
@@ -82,6 +95,12 @@ class IvfIndex:
         self.vec_col = vec_col
         self.n_centroids = n_centroids
         self.lloyd_iters = lloyd_iters
+        #: Instance-scoped centroid memo: build()/the first _centroids()
+        #: read fills it so later probe/update calls on the SAME object
+        #: skip the parquet collect job. Never crosses instances (a
+        #: fresh IvfIndex always re-reads its parquet), so every run
+        #: still derives everything from the on-disk index.
+        self._cents_cache = None
 
     # ------------------------------------------------------------ paths --
     @property
@@ -112,10 +131,11 @@ class IvfIndex:
         cents = train_ivf_centroids(
             corpus, self.id_col, self.vec_col, self.n_centroids, self.lloyd_iters
         )
-        self.spark.createDataFrame(
+        _local_df_1part(
+            self.spark,
             [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-            schema="cluster int, centroid array<double>",
-        ).coalesce(1).write.mode("overwrite").parquet(self._centroids_path)
+            "cluster int, centroid array<double>",
+        ).write.mode("overwrite").parquet(self._centroids_path)
         members = ivf_assign(corpus, np.asarray(cents), self.id_col, self.vec_col)
         members.write.mode("overwrite").parquet(self._members_path)
         n = (
@@ -124,20 +144,24 @@ class IvfIndex:
             .distinct()
             .count()
         )
-        self.spark.createDataFrame(
-            [(n,)], schema="n_at_build long"
-        ).coalesce(1).write.mode("overwrite").parquet(self._meta_path)
+        _local_df_1part(
+            self.spark, [(n,)], "n_at_build long"
+        ).write.mode("overwrite").parquet(self._meta_path)
+        self._cents_cache = np.asarray(cents)
         return n
 
     def _centroids(self):
         import numpy as np
 
+        if self._cents_cache is not None:
+            return self._cents_cache
         rows = (
             self.spark.read.parquet(self._centroids_path)
             .orderBy("cluster")
             .collect()  # n_centroids rows — bounded by design
         )
-        return np.array([r["centroid"] for r in rows])
+        self._cents_cache = np.array([r["centroid"] for r in rows])
+        return self._cents_cache
 
     # ----------------------------------------------------------- update --
     def update(self, vectors: DataFrame) -> int:
@@ -186,7 +210,9 @@ class IvfIndex:
         cents = self._centroids()
         members = self.spark.read.parquet(self._members_path)
         probed = ivf_probe(queries, cents, self.id_col, self.vec_col, n_probe)
-        dim = vector_dim(members, self.vec_col)
+        # the centroid matrix fixes the vector dimensionality — no
+        # limit(1) probe job against the members table needed
+        dim = int(cents.shape[1])
         return ivf_score_topk(
             probed, members, self.vec_col, self.id_col, k, decimals, dim
         )

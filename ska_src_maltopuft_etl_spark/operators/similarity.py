@@ -783,7 +783,9 @@ def cosine_topk_ivf(
 
     tagged_corpus = ivf_assign(corpus, cents, id_col, vec_col)
     probed_queries = ivf_probe(queries, cents, id_col, vec_col, n_probe)
-    dim = vector_dim(corpus, vec_col)
+    # the trained centroid matrix fixes the dimensionality — no extra
+    # limit(1) probe job against the corpus needed
+    dim = int(len(cents[0]))
     return ivf_score_topk(
         probed_queries, tagged_corpus, vec_col, id_col, k, decimals, dim
     )
