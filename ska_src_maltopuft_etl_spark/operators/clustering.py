@@ -71,12 +71,12 @@ def kmeans_fixed_point(
     )
     # Referenced in every round (assignment + update + final) — same
     # invariant-materialization rule as pagerank's edge frame.
-    q = q.localCheckpoint()
+    q = q.localCheckpoint(eager=False)
     cent = (
         q.orderBy("__id")
         .limit(k)
         .select(F.col("__id").alias("__cid"), F.col("__e").alias("__c"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def assign(frame: DataFrame) -> DataFrame:
@@ -117,7 +117,7 @@ def kmeans_fixed_point(
             cent.select("__cid", F.col("__c").alias("__prev"))
             .join(newc, "__cid", "left")
             .select("__cid", F.coalesce("__c", "__prev").alias("__c"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     final = assign(cent)

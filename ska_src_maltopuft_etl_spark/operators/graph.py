@@ -90,7 +90,7 @@ def connected_components(
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def with_isolates(converged: DataFrame) -> DataFrame:
@@ -128,7 +128,7 @@ def connected_components(
                 F.min("component").alias("component"),
                 F.max("__old").alias("__old"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = merged.where(F.col("component") != F.col("__old")).count()
         labels = merged.select("node", "component")
@@ -173,7 +173,7 @@ def _cc_star(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .where(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def large_star(e: DataFrame) -> DataFrame:
@@ -219,7 +219,7 @@ def _cc_star(
     e = e0
     prev = None
     for _round in range(max_iter):
-        e = small_star(large_star(e)).localCheckpoint()
+        e = small_star(large_star(e)).localCheckpoint(eager=False)
         cur = checksum(e)
         if cur == prev:
             break
@@ -363,7 +363,7 @@ def pagerank_fixed_point(
     #   conversion without shuffle stages) — 106-117 s wall;
     # - forcing SHJ via hint on the rank side: 191 s — worst.
     out_deg = e.groupBy("__src").agg(F.count(F.lit(1)).alias("__outdeg"))
-    e_deg = e.join(out_deg, "__src").localCheckpoint()
+    e_deg = e.join(out_deg, "__src").localCheckpoint(eager=False)
     if symmetric:
         # Symmetrized graph: every __src IS a node and every node
         # appears as a __dst, so the source side of the edge table is
@@ -371,13 +371,13 @@ def pagerank_fixed_point(
         # The distinct's partial aggregate collapses within the
         # checkpoint's partitioned blocks, so this exchanges only the
         # node-sized distinct set, not the edge table.
-        nodes = e_deg.select(F.col("__src").alias("node")).distinct().localCheckpoint()
+        nodes = e_deg.select(F.col("__src").alias("node")).distinct().localCheckpoint(eager=False)
     else:
         nodes = (
             e.select(F.col("__src").alias("node"))
             .union(e.select(F.col("__dst").alias("node")))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     ranks = nodes.select("node", F.lit(scale).cast("long").alias("rank_scaled"))
     for i in range(iters):
@@ -409,5 +409,5 @@ def pagerank_fixed_point(
         # linearly per round — still cut it on deep runs so the plan
         # stays O(1) regardless of ``iters``.
         if (i + 1) % 10 == 0 and (i + 1) < iters:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks

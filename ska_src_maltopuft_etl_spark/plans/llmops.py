@@ -191,7 +191,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # signature subtree per reference (45 -> ~8 exchanges).
     cands = similarity.lsh_candidate_pairs(
         sigs, "doc_id", band_size=4, portable=True
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # Exact-verify ONLY the candidate pairs: restrict the shingle table
     # to docs that appear in any candidate pair before the quadratic
     # intersection join — at scale the verification cost is proportional

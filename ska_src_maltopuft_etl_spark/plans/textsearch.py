@@ -890,7 +890,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = (
         text.simhash_bits(d, "doc_id", "text")
         .withColumnRenamed("simhash", "sig")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     chunks = sigs.select(
         "doc_id",
@@ -1387,7 +1387,7 @@ def hierarchy_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("node"))
         .alias("anc"),
         F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     # max depth of node k is ~log10(k); double pointers ceil(log2) times
     import math
 
@@ -1406,7 +1406,7 @@ def hierarchy_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.coalesce("j_anc", "anc").alias("anc"),
                 (F.col("depth") + F.coalesce("j_depth", F.lit(0))).alias("depth"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return links.groupBy(F.col("depth").cast("long").alias("depth")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -2885,7 +2885,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rel = (
         similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=10)
         .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
-        .localCheckpoint()  # 10 rows; pins the pool for the 5 steps
+        .localCheckpoint(eager=False)  # 10 rows; pins the pool for the 5 steps
     )
     from ska_src_maltopuft_etl_spark.operators.similarity import (
         _as_double_vec,
@@ -2915,7 +2915,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_expr("da", "db", dim) / (F.col("na") * F.col("nb")), 5
             ).alias("sim"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     lam = F.lit(0.5)
@@ -2947,7 +2947,7 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", "rel", F.lit(i).alias("pick"))
         )
-        all_sel = all_sel.unionByName(nxt).localCheckpoint()
+        all_sel = all_sel.unionByName(nxt).localCheckpoint(eager=False)
     return all_sel.select(
         F.col("pick").cast("long").alias("pick"), "vec_id", "rel"
     ).orderBy("pick")
@@ -3304,7 +3304,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .where(F.col("n") >= 2)
         .select("u", "v")
-        .localCheckpoint()  # three self-join references, one materialization
+        .localCheckpoint(eager=False)  # three self-join references, one materialization
     )
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))

@@ -33,7 +33,24 @@ _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {
 }
 
 
+#: Session-scoped LAZY-PLAN memo: (applicationId, sf_dir, table) → the
+#: analyzed DataFrame. DataFrames are immutable plan handles — sharing
+#: one caches NO data and NO results; every action still scans the
+#: parquet from disk. What it removes is the repeated driver-side read
+#: setup (footer/schema fetch, conf round-trips, the nanos-repair
+#: re-analysis) that multi-query sessions otherwise pay per query —
+#: measured ~0.09 s/call × ~350 calls per battery. Same spirit as
+#: Spark's own FileStatusCache (guide §6): metadata reuse, not result
+#: caching. Assumes table files are immutable for the session lifetime
+#: (true for the bench/oracle/test drivers); entries die with the app.
+_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    memo = _PLAN_MEMO.get(key)
+    if memo is not None:
+        return memo
     # Defensive: callers (e.g. the external verify driver) may hand us a
     # session without the engine defaults; both confs are runtime-settable
     # and required for correct reads/parses of these tables.
@@ -53,6 +70,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
+    _PLAN_MEMO[key] = df
     return df
 
 
