@@ -138,12 +138,12 @@ class IvfIndex:
         ).write.mode("overwrite").parquet(self._centroids_path)
         members = ivf_assign(corpus, np.asarray(cents), self.id_col, self.vec_col)
         members.write.mode("overwrite").parquet(self._members_path)
-        n = (
-            self.spark.read.parquet(self._members_path)
-            .select(self.id_col)
-            .distinct()
-            .count()
-        )
+        # Plain row count over the fresh parquet: metadata-only (footer
+        # row counts — no data scan, no shuffle), and it is the same
+        # quantity staleness() compares against (n_now is a plain
+        # count too). ivf_assign emits one row per corpus row, so this
+        # IS the member count.
+        n = self.spark.read.parquet(self._members_path).count()
         _local_df_1part(
             self.spark, [(n,)], "n_at_build long"
         ).write.mode("overwrite").parquet(self._meta_path)
@@ -170,12 +170,17 @@ class IvfIndex:
         the same batch is a no-op (anti-join on the id) — the
         `incremental_load` / `NearDupIndex.update` contract."""
         cents = self._centroids()
+        # No .distinct() on the seen side: left-anti semantics are
+        # unaffected by duplicate right-side keys, so the distinct's
+        # aggregate exchange is pure overhead here.
         seen = self.spark.read.parquet(self._members_path).select(self.id_col)
-        fresh = vectors.join(seen.distinct(), self.id_col, "left_anti")
+        fresh = vectors.join(seen, self.id_col, "left_anti")
         tagged = ivf_assign(fresh, cents, self.id_col, self.vec_col)
         # localCheckpoint: the append writes the same path its anti-join
-        # lineage scans — materialize first (NearDupIndex.update's rule)
-        tagged = tagged.localCheckpoint()
+        # lineage scans — materialize first (NearDupIndex.update's rule).
+        # Lazy: the count below IS the materializing action (eager=True
+        # spends an extra job running the identical computation first).
+        tagged = tagged.localCheckpoint(eager=False)
         n_new = tagged.select(self.id_col).distinct().count()
         if n_new:
             tagged.write.mode("append").parquet(self._members_path)

@@ -312,14 +312,20 @@ def cosine_topk_bruteforce(
     vec_col: str,
     k: int = 5,
     decimals: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
     Broadcast queries × corpus, JVM-side fold for the dot product,
     window top-k with (similarity desc, id asc) tie-break. Rounding
     happens *before* ranking so ranking is deterministic.
+
+    ``dim`` — vector width, used only to unroll the dot product. Pass
+    it when the caller already knows it (e.g. probed once per table);
+    ``None`` probes the corpus with one ``limit(1)`` job.
     """
-    dim = vector_dim(corpus, vec_col)
+    if dim is None:
+        dim = vector_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double_vec(F.col(vec_col)).alias("__qv")
     ).withColumn("__qn", l2_norm(F.col("__qv")))

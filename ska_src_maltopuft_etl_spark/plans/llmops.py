@@ -53,6 +53,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings")
 
 
+#: (applicationId, sf_dir) → embedding vector width. Schema-grade
+#: metadata (the array column's fixed element count), probed with one
+#: limit(1) job on first use and reused for the session — the same
+#: metadata-reuse contract as sources.testdata._PLAN_MEMO. Not a result
+#: cache: the value parameterizes PLAN construction (the unrolled dot
+#: product width); every query's data path still scans parquet.
+_EMB_DIM_MEMO: dict[tuple[str, str], int] = {}
+
+
+def _emb_dim(spark: SparkSession, sf_dir: str) -> int:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    d = _EMB_DIM_MEMO.get(key)
+    if d is None:
+        d = similarity.vector_dim(_emb(spark, sf_dir), "embedding")
+        _EMB_DIM_MEMO[key] = d
+    return d
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------
@@ -361,7 +379,9 @@ def knn_cosine_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
-    return similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=5)
+    return similarity.cosine_topk_bruteforce(
+        q, c, "vec_id", "embedding", k=5, dim=_emb_dim(spark, sf_dir)
+    )
 
 
 @register(
@@ -521,7 +541,16 @@ def knn_cosine_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     q = e.where(F.col("vec_id") < 10)
     c = e.where(F.col("vec_id") >= 10)
-    exact = similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=5)
+    # exact feeds both the recall semi-join and the final left join.
+    # Measured (r14): pinning it with a lazy localCheckpoint to kill
+    # the duplicated branch execution costs MORE than it saves — the
+    # .rdd conversion forces a second full physical-planning/codegen
+    # pass of the 64-term dot-product cartesian (~0.7 s driver-side),
+    # while the duplicated execution rides free on idle cores. Left
+    # unpinned deliberately.
+    exact = similarity.cosine_topk_bruteforce(
+        q, c, "vec_id", "embedding", k=5, dim=_emb_dim(spark, sf_dir)
+    )
     approx = similarity.cosine_topk_ivf(
         q, c, "vec_id", "embedding", k=5, n_centroids=8, n_probe=4
     )
@@ -591,7 +620,10 @@ def ann_ivf_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idx.build(base)
     idx.update(rest)
-    exact = similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=5)
+    # unpinned for the same measured reason as knn_cosine_ivf
+    exact = similarity.cosine_topk_bruteforce(
+        q, c, "vec_id", "embedding", k=5, dim=_emb_dim(spark, sf_dir)
+    )
     approx = idx.query(q, k=5, n_probe=4)
     hits = exact.select("query_id", "neighbor_id").join(
         approx.select("query_id", "neighbor_id"),

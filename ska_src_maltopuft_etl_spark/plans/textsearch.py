@@ -1233,8 +1233,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0)
     c = e.where(F.col("vec_id") != 0)
+    from ska_src_maltopuft_etl_spark.plans.llmops import _emb_dim
     cr = similarity.cosine_topk_bruteforce(
-        q, c, "vec_id", "embedding", k=20
+        q, c, "vec_id", "embedding", k=20, dim=_emb_dim(spark, sf_dir)
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("rank_c"))
     fused = bm.join(cr, "doc_id", "full")
     rrf = F.coalesce(
@@ -2882,8 +2883,12 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0)
     c = e.where(F.col("vec_id") != 0)
+    from ska_src_maltopuft_etl_spark.plans.llmops import _emb_dim
+
     rel = (
-        similarity.cosine_topk_bruteforce(q, c, "vec_id", "embedding", k=10)
+        similarity.cosine_topk_bruteforce(
+            q, c, "vec_id", "embedding", k=10, dim=_emb_dim(spark, sf_dir)
+        )
         .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
         .localCheckpoint(eager=False)  # 10 rows; pins the pool for the 5 steps
     )
@@ -2891,10 +2896,9 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         _as_double_vec,
         dot_expr,
         l2_norm,
-        vector_dim,
     )
 
-    dim = vector_dim(c, "embedding")
+    dim = _emb_dim(spark, sf_dir)
     vecs = c.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     pool = rel.select("vec_id").join(
         vecs, rel["vec_id"] == vecs["ia"]
