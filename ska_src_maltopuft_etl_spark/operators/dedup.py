@@ -98,9 +98,13 @@ def surrogate_key(
     # 150k+ rows). localCheckpoint materializes the partitioning ONCE
     # (eagerly, on executor storage, lineage cut) so both branches see
     # identical ids.
+    # Lazy: the sizes .collect() below is the first action and
+    # materializes the checkpoint — eager=True would run the identical
+    # computation in an extra prior job. Consistency is unchanged:
+    # both downstream branches read the same pinned RDD blocks.
     local = sorted_df.withColumn(
         "__mid", F.monotonically_increasing_id()
-    ).localCheckpoint(eager=True, storageLevel=storage_level)
+    ).localCheckpoint(eager=False, storageLevel=storage_level)
     pid = F.shiftright("__mid", 33)
     # Per-partition sizes: one tiny aggregate (a row per partition),
     # collected to the driver for the exclusive prefix sum.
