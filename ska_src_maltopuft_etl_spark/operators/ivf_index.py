@@ -9,16 +9,18 @@ them, the same incremental-index pattern as
 `operators.dedup_index.NearDupIndex` (itself the near-dup lift of the
 reference's idempotent re-run model, observation/extract.py:60-77):
 
-- ``{path}/centroids`` — (cluster int, centroid array<double>),
-  n_centroids rows. Tiny; read to the driver and broadcast per query.
+- ``{path}/centroids`` — (cluster int, centroid array<double>,
+  n_at_build long), n_centroids rows. Tiny; read to the driver and
+  broadcast per query. ``n_at_build`` (the corpus size the centroids
+  were trained against, constant across rows, for the staleness bound)
+  rides in this table so build commits TWO parquet writes, not three —
+  a 1-row meta table costs a full write-job + commit round for 8 bytes
+  (guide §6: small-file writes are pure overhead).
 - ``{path}/members``   — (id, vec, __cluster), one row per corpus
   vector: the inverted lists, partitioned by nothing but readable with
   a cluster-id filter (partition pruning is deliberately NOT used —
   n_centroids is small and the probe equi-join on __cluster is the
   scale path, identical to the one-shot form's join).
-- ``{path}/meta``      — single row (n_at_build long) recording the
-  corpus size the centroids were trained against, for the staleness
-  bound.
 
 Design for 100 TB:
 
@@ -111,10 +113,6 @@ class IvfIndex:
     def _members_path(self) -> str:
         return f"{self.path}/members"
 
-    @property
-    def _meta_path(self) -> str:
-        return f"{self.path}/meta"
-
     def exists(self) -> bool:
         try:
             self.spark.read.parquet(self._centroids_path).head(1)
@@ -131,11 +129,6 @@ class IvfIndex:
         cents = train_ivf_centroids(
             corpus, self.id_col, self.vec_col, self.n_centroids, self.lloyd_iters
         )
-        _local_df_1part(
-            self.spark,
-            [(int(i), [float(x) for x in c]) for i, c in enumerate(cents)],
-            "cluster int, centroid array<double>",
-        ).write.mode("overwrite").parquet(self._centroids_path)
         members = ivf_assign(corpus, np.asarray(cents), self.id_col, self.vec_col)
         members.write.mode("overwrite").parquet(self._members_path)
         # Plain row count over the fresh parquet: metadata-only (footer
@@ -145,8 +138,10 @@ class IvfIndex:
         # IS the member count.
         n = self.spark.read.parquet(self._members_path).count()
         _local_df_1part(
-            self.spark, [(n,)], "n_at_build long"
-        ).write.mode("overwrite").parquet(self._meta_path)
+            self.spark,
+            [(int(i), [float(x) for x in c], n) for i, c in enumerate(cents)],
+            "cluster int, centroid array<double>, n_at_build long",
+        ).write.mode("overwrite").parquet(self._centroids_path)
         self._cents_cache = np.asarray(cents)
         return n
 
@@ -193,7 +188,7 @@ class IvfIndex:
         centroids have never seen stale members, so recall degrades
         with this number; rebuild when it crosses the caller's bound."""
         n_now = self.spark.read.parquet(self._members_path).count()
-        n_built = self.spark.read.parquet(self._meta_path).head()["n_at_build"]
+        n_built = self.spark.read.parquet(self._centroids_path).head()["n_at_build"]
         if n_now <= 0:
             return 0.0
         return max(0.0, (n_now - n_built) / n_now)
