@@ -86,11 +86,14 @@ def connected_components(
     # scale the node set is the whole dataset while the near-dup edge
     # graph is orders of magnitude smaller. Singletons union in at the
     # end (see below).
+    # NOT checkpointed: only round 1 references this twice (own + the
+    # join side), and both branches sit on und's pinned blocks — the
+    # duplicated distinct there is cheaper than an extra .rdd
+    # conversion (planning pass + eager AQE stage execution, r14).
     labels = (
         und.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
     )
 
     def with_isolates(converged: DataFrame) -> DataFrame:

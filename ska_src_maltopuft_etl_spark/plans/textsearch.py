@@ -1389,10 +1389,14 @@ def hierarchy_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("anc"),
         F.when(F.col("node") > 0, F.lit(1)).otherwise(F.lit(0)).alias("depth"),
     ).localCheckpoint(eager=False)
-    # max depth of node k is ~log10(k); double pointers ceil(log2) times
+    # max depth of node k is ~log10(k); double pointers ceil(log2) times.
+    # The max comes from the RAW orders scan, not the distinct node set:
+    # max is duplicate-insensitive, and the plain column aggregate leaves
+    # the distinct's exchange out of this probe job (and is eligible for
+    # parquet stats aggregate pushdown where enabled).
     import math
 
-    max_key = nodes.agg(F.max("node")).head()[0] or 1
+    max_key = o.agg(F.max("o_orderkey")).head()[0] or 1
     rounds = max(1, math.ceil(math.log2(max(2, len(str(max_key))))))
     for _ in range(rounds):
         hop = links.select(
@@ -2951,6 +2955,12 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("vec_id", "rel", F.lit(i).alias("pick"))
         )
+        # Per-step checkpoint is LOAD-BEARING (re-measured r14): all_sel
+        # is referenced three times per step, so without the pin the
+        # final plan re-executes a 3^4-reference tree at the sink —
+        # noop went 0.09 s → 1.5-2.0 s in the unpinned A/B. Four .rdd
+        # conversions are the cheaper side here, unlike the loop-free
+        # exact-topk case documented in llmops.
         all_sel = all_sel.unionByName(nxt).localCheckpoint(eager=False)
     return all_sel.select(
         F.col("pick").cast("long").alias("pick"), "vec_id", "rel"
