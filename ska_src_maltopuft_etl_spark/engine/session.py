@@ -62,6 +62,12 @@ _DEFAULTS: dict[str, str] = {
     # fragment into thousands of empty tasks, while 100 TB inputs still
     # split per-rowgroup.
     "spark.sql.files.maxPartitionBytes": "128MB",
+    # Unfiltered MIN/MAX/COUNT aggregates directly over a parquet scan
+    # answer from footer statistics instead of scanning data (guide §6:
+    # let statistics do the work). Exact by construction (Spark only
+    # pushes types whose stats are trustworthy, and never under a
+    # filter); hit sites here: index row counts, round-bound probes.
+    "spark.sql.parquet.aggregatePushDown": "true",
     # Parquet TIMESTAMP(NANOS) columns (e.g. pandas-written event logs)
     # are otherwise an illegal type for the Spark reader; read them as
     # long nanos and let sources.testdata normalize to TimestampType.
