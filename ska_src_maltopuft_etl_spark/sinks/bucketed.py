@@ -13,7 +13,29 @@ the warehouse directory is plain parquet underneath.
 
 from __future__ import annotations
 
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def _clear_orphaned_location(spark: SparkSession, table: str) -> None:
+    """Remove a managed-table directory left behind by an interrupted run.
+
+    A process killed between writing the table files and committing the
+    catalog entry leaves the warehouse directory on disk with no table to
+    go with it; the next ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode. Only the unqualified
+    default-database case is handled — that is the only layout this
+    module writes.
+    """
+    if spark.catalog.tableExists(table):
+        return
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+    if warehouse.scheme not in ("", "file"):
+        return
+    path = f"{warehouse.path}/{table.lower()}"
+    shutil.rmtree(path, ignore_errors=True)
 
 
 def write_bucketed(
@@ -25,6 +47,8 @@ def write_bucketed(
     mode: str = "overwrite",
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally sorted) catalog table."""
+    if mode == "overwrite":
+        _clear_orphaned_location(df.sparkSession, table)
     writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

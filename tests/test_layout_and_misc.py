@@ -108,6 +108,27 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_write_clears_orphaned_location(spark):
+    """A run killed between writing table files and committing the catalog
+    entry leaves the warehouse dir on disk with no table; overwrite-mode
+    write_bucketed must clear the orphan instead of failing with
+    LOCATION_ALREADY_EXISTS."""
+    import os
+    from urllib.parse import urlparse
+
+    from ska_src_maltopuft_etl_spark.sinks.bucketed import write_bucketed
+
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    orphan = os.path.join(warehouse, "b_orphan_tbl")
+    os.makedirs(os.path.join(orphan, "leftover"), exist_ok=True)
+    try:
+        df = spark.range(100).selectExpr("id as k", "id * 2 as v")
+        write_bucketed(df, "b_orphan_tbl", ["k"], num_buckets=4)
+        assert spark.table("b_orphan_tbl").count() == 100
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orphan_tbl")
+
+
 def test_partition_pruned_scan(spark, tmp_path):
     """Hive-partitioned layout (O1): a date filter must prune partitions
     at the scan, not filter rows post-hoc."""
