@@ -2867,34 +2867,43 @@ def _mmr_oracle(k: int = 5, lam: str = "0.5") -> str:
     oracle=_mmr_oracle(),
     covers=("J1", "W1", "W6"),
     description=(
-        "MMR diversity re-ranking (lambda=0.5, k=5 from a top-10 pool): the "
-        "greedy unrolled as five declarative argmax steps over the bounded "
-        "candidate frame — no driver-side selection loop state"
+        "MMR diversity re-ranking (lambda=0.5, k=5 from a top-10 pool): "
+        "distributed exact top-k builds the pool, then the inherently "
+        "sequential greedy runs driver-side over the k-bounded pool "
+        "(k rows + k^2 pairwise sims collected — corpus-size-independent)"
     ),
 )
 def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance: pick 5 results balancing relevance
     against redundancy (score = l*rel - (1-l)*max sim to already-picked).
 
-    The greedy is inherently sequential, but its POOL is bounded (the
-    top-10 candidates), so each step is a declarative argmax over a
-    10-row frame: join remaining candidates to the picked set, take
-    MAX pairwise sim, score, orderBy-limit-1. Five unrolled steps keep
-    the whole thing one lazy Catalyst plan — no collect, no loop
-    state. All scores derive from 5dp-rounded cosines: exact linear
-    combinations with total-order tie-breaks, bit-reproducible.
+    The corpus-sized work — exact top-10 relevance and the pool's
+    pairwise cosines — is distributed; the greedy selection itself is
+    inherently sequential over a K-BOUNDED pool (10 rows + <=90 pairwise
+    sims, independent of corpus size), so it runs driver-side on the
+    collected pool. This is the same bounded-collect class as the IVF
+    centroid refine: at 100 TB the collect is still 10 rows. The
+    previous formulation unrolled the greedy as five declarative argmax
+    steps with a per-step localCheckpoint pin; that kept selection
+    lazy but paid four planning passes + four eager checkpoint
+    conversions for 10-row frames (measured r14: 26 Spark jobs,
+    ~1.3 s driver time vs ~5 jobs here). Scores derive from 5dp-rounded
+    cosines with exact IEEE-double linear combinations and total-order
+    tie-breaks (score desc, vec_id asc) — Python and JVM doubles agree
+    bit-for-bit, and the DuckDB oracle pins the result either way.
     """
     e = load_table(spark, sf_dir, "embeddings")
     q = e.where(F.col("vec_id") == 0)
     c = e.where(F.col("vec_id") != 0)
     from ska_src_maltopuft_etl_spark.plans.llmops import _emb_dim
 
-    rel = (
+    dim = _emb_dim(spark, sf_dir)
+    rel_rows = (
         similarity.cosine_topk_bruteforce(
-            q, c, "vec_id", "embedding", k=10, dim=_emb_dim(spark, sf_dir)
+            q, c, "vec_id", "embedding", k=10, dim=dim
         )
         .select(F.col("neighbor_id").alias("vec_id"), F.col("cosine").alias("rel"))
-        .localCheckpoint(eager=False)  # 10 rows; pins the pool for the 5 steps
+        .collect()  # k-bounded: 10 rows at any corpus size
     )
     from ska_src_maltopuft_etl_spark.operators.similarity import (
         _as_double_vec,
@@ -2902,18 +2911,20 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         l2_norm,
     )
 
-    dim = _emb_dim(spark, sf_dir)
-    vecs = c.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    pool = rel.select("vec_id").join(
-        vecs, rel["vec_id"] == vecs["ia"]
-    ).select("ia", "va")
-    # pairwise candidate-candidate cosines (10x10 frame, JVM-side fold)
-    pv = pool.select("ia", _as_double_vec(F.col("va")).alias("da"))
-    pv = pv.withColumn("na", l2_norm(F.col("da")))
+    pool_ids = [r["vec_id"] for r in rel_rows]
+    # pairwise candidate-candidate cosines (10x10, JVM-side fold, one job)
+    pv = (
+        c.where(F.col("vec_id").isin(pool_ids))
+        .select(
+            F.col("vec_id").alias("ia"),
+            _as_double_vec(F.col("embedding")).alias("da"),
+        )
+        .withColumn("na", l2_norm(F.col("da")))
+    )
     pvb = pv.select(
         F.col("ia").alias("ib"), F.col("da").alias("db"), F.col("na").alias("nb")
     )
-    pairs = (
+    sim_rows = (
         pv.crossJoin(pvb)
         .where(F.col("ia") != F.col("ib"))
         .select(
@@ -2923,48 +2934,57 @@ def mmr_diverse_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_expr("da", "db", dim) / (F.col("na") * F.col("nb")), 5
             ).alias("sim"),
         )
-        .localCheckpoint(eager=False)
+        .collect()  # k^2-bounded: <=90 rows
     )
+    sim = {(r["ia"], r["ib"]): r["sim"] for r in sim_rows}
 
-    lam = F.lit(0.5)
-    selected = rel.orderBy(F.col("rel").desc(), F.col("vec_id").asc()).limit(
-        1
-    ).select("vec_id", "rel", F.lit(1).alias("pick"))
-    all_sel = selected
-    for i in range(2, 6):
-        picked_ids = all_sel.select(F.col("vec_id").alias("ib"))
-        remaining = rel.join(
-            all_sel.select("vec_id"), "vec_id", "left_anti"
+    # Greedy over the collected pool. Same arithmetic as the JVM form:
+    # 0.5 * rel - (1.0 - 0.5) * maxsim on IEEE doubles, ties broken
+    # (score desc, vec_id asc); first pick is plain (rel desc, vec_id asc).
+    rest = sorted(rel_rows, key=lambda r: (-r["rel"], r["vec_id"]))
+    selected: list[tuple[int, int, float]] = []
+    picked: list[int] = []
+    for i in range(1, 6):
+        if not rest:
+            break
+        if i == 1:
+            best = rest[0]
+        else:
+            best, best_key = None, None
+            for r in rest:
+                maxsim = max(sim[(r["vec_id"], p)] for p in picked)
+                score = 0.5 * r["rel"] - (1.0 - 0.5) * maxsim
+                key = (-score, r["vec_id"])
+                if best is None or key < best_key:
+                    best, best_key = r, key
+        selected.append((i, best["vec_id"], best["rel"]))
+        picked.append(best["vec_id"])
+        rest = [r for r in rest if r["vec_id"] != best["vec_id"]]
+
+    id_type = e.schema["vec_id"].dataType.simpleString()
+    if not selected:
+        return spark.createDataFrame(
+            [], f"pick long, vec_id {id_type}, rel double"
         )
-        maxsim = (
-            pairs.join(F.broadcast(picked_ids), "ib")
-            .groupBy("ia")
-            .agg(F.max("sim").alias("maxsim"))
-        )
-        scored = remaining.join(
-            maxsim, remaining["vec_id"] == maxsim["ia"]
-        ).select(
-            "vec_id",
-            "rel",
-            (lam * F.col("rel") - (F.lit(1.0) - lam) * F.col("maxsim")).alias(
-                "score"
-            ),
-        )
-        nxt = (
-            scored.orderBy(F.col("score").desc(), F.col("vec_id").asc())
-            .limit(1)
-            .select("vec_id", "rel", F.lit(i).alias("pick"))
-        )
-        # Per-step checkpoint is LOAD-BEARING (re-measured r14): all_sel
-        # is referenced three times per step, so without the pin the
-        # final plan re-executes a 3^4-reference tree at the sink —
-        # noop went 0.09 s → 1.5-2.0 s in the unpinned A/B. Four .rdd
-        # conversions are the cheaper side here, unlike the loop-free
-        # exact-topk case documented in llmops.
-        all_sel = all_sel.unionByName(nxt).localCheckpoint(eager=False)
-    return all_sel.select(
-        F.col("pick").cast("long").alias("pick"), "vec_id", "rel"
-    ).orderBy("pick")
+    # Emit the k result rows as JVM literals (explode of a struct
+    # array): a Python-RDD-backed local frame would pay one Python
+    # worker round-trip per downstream action for 5 rows.
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("pick"),
+                F.lit(v).cast(id_type).alias("vec_id"),
+                F.lit(rv).cast("double").alias("rel"),
+            )
+            for p, v, rv in selected
+        ]
+    )
+    out = (
+        spark.range(1)
+        .select(F.explode(rows).alias("r"))
+        .select("r.pick", "r.vec_id", "r.rel")
+    )
+    return out.orderBy("pick")
 
 
 @register(

@@ -551,8 +551,10 @@ def test_interval_union_sweep_line_matches_python_model(spark):
 
 
 def test_mmr_rerank_matches_python_greedy(spark):
-    """The unrolled declarative MMR must pick exactly what the python
-    greedy picks from the same relevance/similarity inputs."""
+    """The query's MMR (driver-side greedy over the collected k-bounded
+    pool, with Spark-computed cosines) must pick exactly what this
+    INDEPENDENT python model picks — it recomputes every cosine from the
+    raw vectors in pure Python, sharing no intermediate with the query."""
     from ska_src_maltopuft_etl_spark.plans import QUERIES
 
     sf = "/root/testdata/sf0.001"
