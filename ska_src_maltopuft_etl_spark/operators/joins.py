@@ -577,6 +577,7 @@ def interval_join_sweep(
     def sweep(batches):
         import heapq
 
+        import numpy as np
         import pandas as pd
 
         group = None
@@ -587,27 +588,45 @@ def interval_join_sweep(
         # first-encountered interval wins, deterministically per plan.
         heap: list = []
         seq = 0
+        none_r = (None,) * n_r
         for pdf in batches:
-            if len(pdf) == 0:
+            n = len(pdf)
+            if n == 0:
                 continue
             keys = [pdf[c].to_numpy() for c in (*K, "__sw_b")]
-            ts = pdf["__sw_t"].to_numpy()
-            marks = pdf["__sw_m"].to_numpy()
-            s_us = pdf["__sw_s"].to_numpy()
-            e_us = pdf["__sw_e"].to_numpy()
-            # .tolist() once per batch: O(1) python-object cell access in
-            # the loop (Series.iloc per cell is ~30× slower)
-            lvals = [pdf[c].tolist() for c in lcols]
-            rvals = [pdf[c].tolist() for c in out_rcols]
+            # Per-row work is the whole cost of this pass (guide §4.2), so
+            # everything O(row × column) happens at C speed per batch:
+            # .tolist() converts cells to Python objects once, zip
+            # materializes the row tuples once (a per-row generator
+            # expression re-pays iterator setup per cell), and the group
+            # boundaries come from one vectorized compare per key column
+            # instead of building + comparing a key tuple per row. List
+            # indexing in the loop beats numpy scalar indexing (which
+            # boxes a fresh numpy scalar per access).
+            ts = pdf["__sw_t"].tolist()
+            marks = pdf["__sw_m"].tolist()
+            s_us = pdf["__sw_s"].tolist()
+            e_us = pdf["__sw_e"].tolist()
+            lrows = list(zip(*[pdf[c].tolist() for c in lcols]))
+            rrows = list(zip(*[pdf[c].tolist() for c in out_rcols]))
+            bnd = np.zeros(n, dtype=bool)
+            for k in keys:
+                np.logical_or(bnd[1:], k[1:] != k[:-1], out=bnd[1:])
+            # First row continues the previous batch's group unless its
+            # key differs (NaN/NaT keys compare unequal to themselves in
+            # both formulations, so they open a new group either way).
+            bnd[0] = group is None or tuple(k[0] for k in keys) != group
+            group = tuple(k[n - 1] for k in keys)
+            newgrp = bnd.tolist()
             out: list[tuple] = []
-            for i in range(len(pdf)):
-                g = tuple(k[i] for k in keys)
-                if g != group:
-                    group = g
+            out_append = out.append
+            heappush, heappop = heapq.heappush, heapq.heappop
+            for i in range(n):
+                if newgrp[i]:
                     heap.clear()
                 t = ts[i]
                 if marks[i] == 0:  # interval copy: push candidate
-                    payload = tuple(v[i] for v in rvals)
+                    payload = rrows[i]
                     tb = payload[tb_idx]
                     null_tb = tb is None or tb != tb  # None/NaN/NaT lose
                     # null tie-breaks get a CONSTANT ordkey (0): they sort
@@ -616,18 +635,19 @@ def interval_join_sweep(
                     # would raise on comparison.
                     ordkey = 0 if null_tb else (_Rev(tb) if desc else tb)
                     seq += 1
-                    heapq.heappush(
+                    e = int(e_us[i])
+                    heappush(
                         heap,
-                        (null_tb, ordkey, -int(s_us[i]), -int(e_us[i]), seq, int(e_us[i]), payload),
+                        (null_tb, ordkey, -int(s_us[i]), -e, seq, e, payload),
                     )
                     continue
                 # probe: lazily evict heap tops dead at this (ascending) ts
                 while heap and heap[0][5] < t:
-                    heapq.heappop(heap)
+                    heappop(heap)
                 if heap:
-                    out.append(tuple(v[i] for v in lvals) + heap[0][6])
+                    out_append(lrows[i] + heap[0][6])
                 elif not inner:
-                    out.append(tuple(v[i] for v in lvals) + (None,) * n_r)
+                    out_append(lrows[i] + none_r)
             if out:
                 yield pd.DataFrame(out, columns=[*lcols, *out_rcols])
 
