@@ -51,6 +51,23 @@ def dedup_keep_first(
     )
 
 
+def _local_pairs_df(spark, rows, c1: str, c2: str) -> DataFrame:
+    """Tiny driver-local (long, long) frame as a SQL VALUES LocalRelation.
+
+    A LocalTableScan's broadcast build collects rows driver-side with no
+    job, no scan task and no Python-worker round-trip — strictly cheaper
+    than parallelizing a Python RDD (even 1-slice, the r14 fix) whose
+    broadcast must run a task through the Python runner. Used for the
+    per-partition offset tables of the numbering operators below.
+    """
+    if not rows:
+        return spark.sql(
+            f"SELECT CAST(NULL AS BIGINT) AS {c1}, CAST(NULL AS BIGINT) AS {c2}"
+        ).where("false")
+    values = ",".join(f"({int(a)}L,{int(b)}L)" for a, b in rows)
+    return spark.sql(f"SELECT col1 AS {c1}, col2 AS {c2} FROM (VALUES {values})")
+
+
 def surrogate_key(
     df: DataFrame,
     name: str,
@@ -79,7 +96,27 @@ def surrogate_key(
     if not scalable:
         w = Window.orderBy(*ordered)
         return df.withColumn(name, (F.row_number().over(w) + offset - 1).cast("long"))
+    out, _n = surrogate_key_with_count(
+        df, name, order_by, offset=offset, storage_level=storage_level
+    )
+    return out
 
+
+def surrogate_key_with_count(
+    df: DataFrame,
+    name: str,
+    order_by: Sequence[Column | str],
+    offset: int = 1,
+    storage_level: StorageLevel | None = None,
+) -> tuple[DataFrame, int]:
+    """``surrogate_key(..., scalable=True)`` that also returns the total
+    row count. The scalable path collects per-partition sizes anyway
+    (the exclusive prefix sum), so the count is free — callers that
+    number a frame and then need its cardinality (e.g. to derive
+    downstream bucket widths, see :func:`surrogate_key_dense_int`) avoid
+    a separate count job over the fact.
+    """
+    ordered = _order_cols(order_by)
     sorted_df = df.repartitionByRange(*ordered).sortWithinPartitions(*ordered)
     # monotonically_increasing_id() encodes (partition id << 33) + a
     # 0-based consecutive row counter within the partition, evaluated in
@@ -138,14 +175,11 @@ def surrogate_key(
         rows.append((r["__pid"], running))
         running += r["__cnt"]
     spark = df.sparkSession
-    # ONE slice: the default createDataFrame parallelizes this tiny
-    # list over defaultParallelism pickled partitions, and the
-    # broadcast build then pays a Python-worker round-trip per
-    # partition (measured ~0.4 s of pure overhead on local[32]).
-    offsets = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 1), "__pid long, __poffset long"
-    )
-    return (
+    # LocalRelation VALUES frame (not a parallelized Python RDD): the
+    # broadcast build collects it driver-side without a task or a
+    # Python-worker round-trip.
+    offsets = _local_pairs_df(spark, rows, "__pid", "__poffset")
+    out = (
         local.withColumn("__pid", pid)
         .join(F.broadcast(offsets), "__pid")
         .withColumn(
@@ -157,4 +191,72 @@ def surrogate_key(
             ).cast("long"),
         )
         .drop("__pid", "__mid", "__poffset")
+    )
+    return out, running
+
+
+def surrogate_key_dense_int(
+    df: DataFrame,
+    name: str,
+    key_col: str,
+    key_max: int,
+    offset: int = 1,
+    num_buckets: int | None = None,
+) -> DataFrame:
+    """Contiguous ``offset``-based numbering of rows by an existing
+    UNIQUE integer key column with values in ``[1, key_max]`` (a
+    surrogate key assigned upstream — gaps from filtering/dedup are
+    fine; the output follows ascending ``key_col`` order).
+
+    The cheap second-pass twin of ``surrogate_key(scalable=True)``
+    (guide §2.4 — remove shuffles outright): when rows already carry a
+    bounded integer order key, the global sort order can be recovered
+    from equal-width ordered key-range buckets instead of a sampled
+    range partitioning, so this pass needs
+
+    - NO range-sampling job (bucket = ``(key-1) DIV w`` is a pure
+      function of the key),
+    - NO ``localCheckpoint`` of the fact (the two consumers — the
+      per-bucket counts and the final rank — are deterministic in the
+      key set, not in partitioning or sampling),
+    - NO driver-side action at all: the exclusive prefix sum runs as a
+      window over the per-bucket COUNTS (≤ ``num_buckets`` rows — the
+      only single-partition exchange, bucket-count-sized, never
+      fact-sized), so the whole pass stays lazy and plans into the
+      caller's next action instead of forcing the upstream pipeline at
+      build time, and
+    - ONE fact-sized hash exchange + in-partition sort (the rank
+      window), per-task state bounded by ``w = ceil(key_max /
+      num_buckets)`` rows.
+
+    The caller must ensure the key set is stable across recomputation
+    (our callers number a checkpointed/persisted frame). Used by the
+    MeerTRAP candidate pipeline to fuse its second scalable numbering
+    pass onto the first pass's key (VERDICT r14 #1).
+    """
+    import math
+
+    spark = df.sparkSession
+    n_b = num_buckets or spark.sparkContext.defaultParallelism
+    w = max(1, math.ceil(key_max / max(1, n_b)))
+    with_b = df.withColumn("__skb", F.expr(f"({key_col} - 1) DIV {w}"))
+    counts = with_b.groupBy("__skb").agg(F.count(F.lit(1)).alias("__cnt"))
+    offw = (
+        Window.orderBy("__skb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "__skb",
+        F.coalesce(F.sum("__cnt").over(offw), F.lit(0)).alias("__skoff"),
+    )
+    win = Window.partitionBy("__skb").orderBy(F.col(key_col).asc())
+    return (
+        with_b.join(F.broadcast(offsets), "__skb")
+        .withColumn(
+            name,
+            (F.row_number().over(win) - 1 + F.col("__skoff") + offset).cast(
+                "long"
+            ),
+        )
+        .drop("__skb", "__skoff")
     )

@@ -27,7 +27,8 @@ from ska_src_maltopuft_etl_spark import functions as K
 from ska_src_maltopuft_etl_spark.operators import (
     asof_join_backward,
     dedup_keep_first,
-    surrogate_key,
+    surrogate_key_dense_int,
+    surrogate_key_with_count,
 )
 from ska_src_maltopuft_etl_spark.plans.meertrap.observation import (
     UnexpectedShapeError,
@@ -38,6 +39,15 @@ from ska_src_maltopuft_etl_spark.plans.meertrap.observation import (
 class CandidateTables:
     candidate: DataFrame
     sp_candidate: DataFrame
+    #: Fused (sp_candidate ⋈ candidate) shape: the sp-numbered rows with
+    #: every candidate attribute still attached. The two output tables
+    #: are projections of this one frame (1:1 on candidate_id by
+    #: construction), so a consumer needing columns from BOTH — the
+    #: driver-oracle certification query — reads this instead of
+    #: re-joining two projections of the same persisted frame (at scale
+    #: that join shuffles or broadcasts a fact-sized table for rows
+    #: that were never separated; guide §2.4).
+    sp_candidate_wide: DataFrame | None = None
 
     def as_dict(self) -> dict[str, DataFrame]:
         return {"candidate": self.candidate, "sp_candidate": self.sp_candidate}
@@ -45,15 +55,18 @@ class CandidateTables:
 
 def transform_candidate(
     cand_df: DataFrame, beam_obs: DataFrame, validate: bool = True
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
     """Candidate rows with coordinates, observed_at, pos and beam_id
-    (candidate/transform.py:87-202)."""
+    (candidate/transform.py:87-202). Returns ``(frame, n_candidates)``
+    — the numbering pass collects per-partition sizes anyway, so the
+    total comes free and seeds the second numbering pass's bucket width
+    (see :func:`transform_sp_candidate`)."""
     # (cand_mjd, filename) is a total order over candidate rows, so the
     # partition-offset mode produces ids identical to the global-window
     # mode — without the single-partition exchange that would bottleneck
     # the fact-sized candidate table at cluster scale.
-    cand = surrogate_key(
-        cand_df, "candidate_id", ["cand_mjd", "filename"], scalable=True
+    cand, n_total = surrogate_key_with_count(
+        cand_df, "candidate_id", ["cand_mjd", "filename"]
     )
     cand = cand.withColumns(
         {
@@ -94,7 +107,7 @@ def transform_candidate(
             raise UnexpectedShapeError(
                 "Unexpected number of candidates after beam-id as-of join."
             )
-    return joined.drop("cand_beam", "cand_coherent")
+    return joined.drop("cand_beam", "cand_coherent"), n_total
 
 
 def deduplicate_candidates(cand: DataFrame) -> DataFrame:
@@ -121,11 +134,25 @@ def deduplicate_candidates(cand: DataFrame) -> DataFrame:
 
 
 def transform_sp_candidate(
-    cand: DataFrame, remote_file_root_path: str, partition_key: str
+    cand: DataFrame,
+    remote_file_root_path: str,
+    partition_key: str,
+    n_candidates: int,
 ) -> DataFrame:
     """sp_candidate rows: plot path prefixed with the remote root and
-    partition (candidate/transform.py:205-227)."""
-    sp = surrogate_key(cand, "sp_candidate_id", ["candidate_id"], scalable=True)
+    partition (candidate/transform.py:205-227).
+
+    The numbering follows ``candidate_id`` — the dense 1-based key the
+    FIRST scalable pass assigned — so instead of a second full
+    range-partitioning pass (sampling job + range shuffle + fact-sized
+    localCheckpoint pin + sizes collect), the rank is recovered from
+    ``candidate_id``'s known range via :func:`surrogate_key_dense_int`:
+    one hash exchange, one tiny counts collect, nothing pinned
+    (VERDICT r14 #1 — fuse the two key assignments onto one sorted
+    lineage)."""
+    sp = surrogate_key_dense_int(
+        cand, "sp_candidate_id", "candidate_id", key_max=n_candidates
+    )
     return sp.withColumn(
         "sp_cand_plot_path",
         F.concat_ws(
@@ -145,12 +172,21 @@ def transform_spccl(
     validate: bool = True,
 ) -> CandidateTables:
     """Candidate transformation entrypoint (candidate/transform.py:230-237)."""
-    cand = transform_candidate(cand_df, beam_obs, validate=validate)
+    cand, n_candidates = transform_candidate(cand_df, beam_obs, validate=validate)
     # deduped candidates feed both output tables; cache post-dedup.
+    # filename is consumed by the dedup (processed_at + tie-break) and
+    # referenced nowhere below — drop it before the persist so the
+    # pinned blocks carry only live columns (guide §5).
     from pyspark import StorageLevel
 
-    cand = deduplicate_candidates(cand).persist(StorageLevel.MEMORY_AND_DISK)
-    sp = transform_sp_candidate(cand, remote_file_root_path, partition_key)
+    cand = (
+        deduplicate_candidates(cand)
+        .drop("filename")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sp = transform_sp_candidate(
+        cand, remote_file_root_path, partition_key, n_candidates
+    )
 
     candidate = cand.select(
         F.col("candidate_id").alias("id"),
@@ -168,4 +204,6 @@ def transform_spccl(
         F.col("sp_cand_plot_path").alias("plot_path"),
         F.col("candidate_id"),
     )
-    return CandidateTables(candidate=candidate, sp_candidate=sp_candidate)
+    return CandidateTables(
+        candidate=candidate, sp_candidate=sp_candidate, sp_candidate_wide=sp
+    )

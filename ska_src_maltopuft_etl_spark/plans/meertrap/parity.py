@@ -368,20 +368,23 @@ def meertrap_sp_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_key="2023-11-20",
         validate=False,
     )
-    return (
-        tables.sp_candidate.alias("sp")
-        .join(tables.candidate.alias("c"), F.col("sp.candidate_id") == F.col("c.id"))
-        .select(
-            F.col("sp.id").alias("id"),
-            F.col("sp.plot_path").alias("plot_path"),
-            F.col("sp.candidate_id").alias("candidate_id"),
-            F.col("c.dm").alias("dm"),
-            F.col("c.snr").alias("snr"),
-            F.col("c.width").alias("width"),
-            F.col("c.ra").alias("ra"),
-            F.col("c.dec").alias("dec"),
-            F.col("c.pos").alias("pos"),
-            F.unix_micros("c.observed_at").alias("observed_at_us"),
-            F.col("c.beam_id").alias("beam_id"),
-        )
+    # The two tables are projections of ONE persisted frame, 1:1 on
+    # candidate_id; read the fused shape instead of re-joining them —
+    # the join re-attached rows that were never separated, and at scale
+    # it broadcast/shuffled a fact-sized side for nothing (guide §2.4).
+    # Output is bitwise the old join's (same rows, same columns), which
+    # the driver's value-hash oracle certifies.
+    wide = tables.sp_candidate_wide
+    return wide.select(
+        F.col("sp_candidate_id").alias("id"),
+        F.col("sp_cand_plot_path").alias("plot_path"),
+        F.col("candidate_id"),
+        F.col("cand_dm").alias("dm"),
+        F.col("cand_snr").alias("snr"),
+        F.col("cand_width").alias("width"),
+        F.col("cand_ra").alias("ra"),
+        F.col("cand_dec").alias("dec"),
+        F.col("cand_pos").alias("pos"),
+        F.unix_micros("cand_observed_at").alias("observed_at_us"),
+        F.col("beam_id").alias("beam_id"),
     )

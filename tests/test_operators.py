@@ -163,6 +163,33 @@ def test_surrogate_key_scalable_large(spark):
     assert [r["k"] for r in rows] == sorted(r["k"] for r in rows)
 
 
+def test_surrogate_key_dense_int_matches_scalable(spark):
+    """The dense-int second-pass numbering (round 15: fuses the MeerTRAP
+    sp_candidate pass onto the candidate_id key) must reproduce
+    surrogate_key(scalable=True) ids exactly on a gappy key subset —
+    including keys at bucket boundaries, an empty-bucket key range, and
+    n < num_buckets degenerate splits."""
+    from ska_src_maltopuft_etl_spark.operators import surrogate_key_dense_int
+
+    n = 10_000
+    base = spark.range(1, n + 1).select(F.col("id").alias("cid"))
+    # keep ~1/3 of keys, biased gaps: drop whole ranges plus a modulus
+    kept = base.where(
+        ((F.col("cid") % 3) == 1) & ~F.col("cid").between(2_000, 4_000)
+    )
+    got = surrogate_key_dense_int(kept, "sk", "cid", key_max=n)
+    want = surrogate_key(kept, "sk", ["cid"], scalable=True)
+    assert got.orderBy("sk").collect() == want.orderBy("sk").collect()
+    # degenerate: fewer rows than buckets, offset respected
+    tiny = spark.createDataFrame([(7,), (9_999,)], "cid long")
+    rows = (
+        surrogate_key_dense_int(tiny, "sk", "cid", key_max=n, offset=5)
+        .orderBy("sk")
+        .collect()
+    )
+    assert [(r["cid"], r["sk"]) for r in rows] == [(7, 5), (9_999, 6)]
+
+
 def test_surrogate_key_scalable_storage_level(spark):
     """storage_level= reaches the localCheckpoint: with DISK_ONLY the
     materialized fact must occupy zero storage memory, and the ids must
