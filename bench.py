@@ -40,9 +40,86 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from ska_src_maltopuft_etl_spark.config import load_harness_config
 from ska_src_maltopuft_etl_spark.engine import get_spark, release_all_persisted
 from ska_src_maltopuft_etl_spark.plans import QUERIES
+
+
+def _executor_task_ms(spark) -> int | None:
+    """Cumulative executor task time (ms) across the app so far.
+
+    Round-15 scaling contract (VERDICT r14 #2): the per-query WALL time
+    at sf0.1 is driver-dominated, so the driver's low-vs-high-core wall
+    ratio reads ~1 everywhere and cannot tell a serial operator from a
+    driver-bound tier. Executor aggregate task time is the number that
+    scales with cores: per-query deltas of this counter let the scaling
+    probe separate "executor compute (parallelizable)" from "driver
+    overhead (core-count-invariant)". Read from the app status store's
+    executor summaries (sum of ``totalDuration``); the listener bus is
+    drained first so late task-end events land on the query that ran
+    them. Returns None if the internal API is unavailable (the field is
+    additive — wall timings are unaffected).
+    """
+    try:
+        jsc = spark.sparkContext._jsc.sc()  # noqa: SLF001
+        try:
+            jsc.listenerBus().waitUntilEmpty()
+        except Exception:
+            pass  # best-effort drain; ~ms-level attribution slack is fine
+        total = 0
+        it = jsc.statusStore().executorList(False).iterator()
+        while it.hasNext():
+            total += it.next().totalDuration()
+        return int(total)
+    except Exception:
+        return None
+
+
+def _box_probe_sec(spark) -> float:
+    """Pure box-speed probe: a fixed synthetic workload that never
+    touches engine code (round-15 canary re-base, VERDICT r14 #8).
+
+    The r7 "untouched query" canary stopped being a box probe the
+    moment optimization rounds touched shared engine layers (session
+    memo, table loading): its drift conflates box speed with real code
+    wins and the r14 re-pin folded a measured code factor into the
+    reference — structurally one bad measurement away from normalizing
+    a regression. This probe is immune by construction: plain Spark API
+    over ``range()`` data, fixed seed-free integer arithmetic, fixed
+    partition counts, no engine imports — byte-frozen alongside the
+    reference value in cfg/bench_canary.json (``box_probe_reference_sec``).
+    Shape: one CPU-bound hash aggregate + one shuffle join, ~1 s on a
+    quiet local[32] box. Timed best-of-2 (JVM/codegen warm by the time
+    it runs — bench.py's warmup precedes it).
+    """
+    import time as _t
+
+    best = None
+    for _ in range(2):
+        t0 = _t.time()
+        left = (
+            spark.range(0, 12_000_000, 1, 32)
+            .selectExpr(
+                "id % 100000 AS k",
+                "(id * 2654435761) % 1000003 AS v",
+            )
+        )
+        agg = left.groupBy("k").agg(
+            F.sum("v").alias("s"),
+            F.avg("v").alias("a"),
+            F.max("v").alias("m"),
+        )
+        right = spark.range(0, 100_000, 1, 8).selectExpr(
+            "id AS k", "id * 7 % 97 AS w"
+        )
+        agg.join(right, "k").selectExpr(
+            "k", "s + w AS sw", "a", "m"
+        ).write.format("noop").mode("overwrite").save()
+        el = _t.time() - t0
+        best = el if best is None else min(best, el)
+    return round(best, 3)
 
 
 def main() -> None:
@@ -99,6 +176,10 @@ def main() -> None:
     # parquet scan up (cache cleared between).
     rounds = cfg.bench_rounds
     timings_noop: dict[str, float] = {}
+    # Per-query executor aggregate task time (sec) — additive round-15
+    # field (VERDICT r14 #2): recorded for the same round the best wall
+    # time came from, so wall and task time describe one execution.
+    task_sec: dict[str, float] = {}
     for name, spec in specs.items():
         # progress marker on stderr (stdout stays machine-parseable;
         # the driver keeps only the final stdout line): long scaled-tier
@@ -107,10 +188,15 @@ def main() -> None:
         print(f"[bench] {name}", file=sys.stderr, flush=True)
         best_noop = None
         for _ in range(rounds):
+            tk0 = _executor_task_ms(spark)
             t0 = time.time()
             df = spec.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             elapsed = time.time() - t0
+            tk1 = _executor_task_ms(spark)
+            if best_noop is None or elapsed < best_noop:
+                if tk0 is not None and tk1 is not None:
+                    task_sec[name] = round((tk1 - tk0) / 1000.0, 3)
             best_noop = elapsed if best_noop is None else min(best_noop, elapsed)
             # queries are independent; drop any intermediates a query
             # pinned so later timings aren't distorted by cache/GC
@@ -122,13 +208,30 @@ def main() -> None:
             release_all_persisted(spark)
         timings_noop[name] = round(best_noop, 3)
     total_noop = round(sum(timings_noop.values()), 3)
+
+    # Round-15 box probe (VERDICT r14 #8): a synthetic, engine-free
+    # workload timed against a quiet-box reference pinned in
+    # cfg/bench_canary.json. This is the structural replacement for the
+    # query canary below, whose "untouched" premise optimization rounds
+    # keep breaking via shared-engine changes. Runs AFTER the battery so
+    # it never warms the timed queries.
+    box_probe_sec = None
+    try:
+        box_probe_sec = _box_probe_sec(spark)
+    except Exception:
+        pass
     load_end = os.getloadavg()[0]
 
     # Canary drift (round-7 VERDICT #3b): sum of the 10 untouched
     # canary queries vs their quiet-box reference. ~1.0 = quiet box,
     # comparable battery; >>1.0 = environmental inflation — the
-    # normalized total divides it out.
+    # normalized total divides it out. Since round 15 the headline
+    # normalization uses the BOX PROBE drift (pure box speed by
+    # construction); the legacy query-canary drift and its normalized
+    # total are still emitted for round-over-round continuity.
     canary_drift_noop = None
+    total_normalized_legacy = None
+    canary_drift_box = None
     total_normalized = None
     try:
         with open(
@@ -141,9 +244,17 @@ def main() -> None:
             canary_drift_noop = round(
                 sum(timings_noop[k] for k in ref_n) / sum(ref_n.values()), 3
             )
-            total_normalized = round(total_noop / canary_drift_noop, 3)
+            total_normalized_legacy = round(total_noop / canary_drift_noop, 3)
+        box_ref = canary.get("box_probe_reference_sec")
+        if box_probe_sec is not None and box_ref:
+            canary_drift_box = round(box_probe_sec / float(box_ref), 3)
+            total_normalized = round(total_noop / canary_drift_box, 3)
     except (OSError, ValueError, KeyError, ZeroDivisionError):
         pass
+    if total_normalized is None:
+        # Box probe unavailable — fall back to the legacy definition so
+        # the contract key is always populated.
+        total_normalized = total_normalized_legacy
     # Round 2 postmortem: the single-line JSON with all per-query
     # timings outgrew the driver's tail capture and the headline line was
     # truncated away ("parsed": null in BENCH_r02.json). Emit the full
@@ -153,7 +264,10 @@ def main() -> None:
     full = {
         "metric": "per_query_wall_sec_full",
         "queries_noop_sink": timings_noop,
+        "queries_exec_task_sec": task_sec,
         "canary_drift_noop": canary_drift_noop,
+        "canary_drift_box": canary_drift_box,
+        "box_probe_sec": box_probe_sec,
         "loadavg_start": round(load_start, 2),
         "loadavg_end": round(load_end, 2),
         "env_hot": env_hot,
@@ -187,13 +301,22 @@ def main() -> None:
                 "value": total_noop,
                 "unit": "sec",
                 # The round-over-round comparable number on a shared
-                # box: raw total divided by untouched-canary drift.
+                # box: raw total divided by box drift (r15+: synthetic
+                # box probe; legacy query-canary kept alongside).
                 "value_canary_normalized": total_normalized,
+                "value_canary_normalized_legacy": total_normalized_legacy,
                 "canary_drift_noop": canary_drift_noop,
+                "canary_drift_box": canary_drift_box,
                 "loadavg_start": round(load_start, 2),
                 "loadavg_end": round(load_end, 2),
                 "env_hot": env_hot,
                 "queries": slowest,
+                # executor aggregate task time for the same 12 queries
+                # (r15 scaling contract: task time scales with cores,
+                # wall at sf0.1 is driver-bound — see VERDICT r14 #2).
+                "queries_exec_task_sec": {
+                    k: task_sec[k] for k in slowest if k in task_sec
+                },
                 "n_queries": len(timings_noop),
                 "sf": sf_val,
             }

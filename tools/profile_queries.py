@@ -11,11 +11,13 @@ bench.py, measures separately:
   (best of ``--rounds``, full re-build each round like bench.py);
 - ``n_jobs``   — Spark jobs triggered across one full build+noop round
   (job-count >> 1 flags hidden actions / eager checkpoints);
-- writes ``.explain('formatted')`` to ``plans/r14/<query>_<tag>.txt``
-  when ``--plans <tag>`` is given.
+- writes ``.explain('formatted')`` to ``plans/<round>/<query>_<tag>.txt``
+  when ``--plans <tag>`` is given (round dir from ``--plans-dir``,
+  default r15).
 
 Usage:
-  python tools/profile_queries.py [--rounds N] [--plans TAG] [query ...]
+  python tools/profile_queries.py [--rounds N] [--plans TAG]
+                                  [--plans-dir rNN] [query ...]
 
 Output: one JSON line per query on stdout + a sorted summary on stderr.
 """
@@ -38,6 +40,7 @@ def main() -> int:
     args = sys.argv[1:]
     rounds = 3
     plans_tag = None
+    plans_round = "r15"
     if "--rounds" in args:
         i = args.index("--rounds")
         rounds = int(args[i + 1])
@@ -45,6 +48,10 @@ def main() -> int:
     if "--plans" in args:
         i = args.index("--plans")
         plans_tag = args[i + 1]
+        del args[i : i + 2]
+    if "--plans-dir" in args:
+        i = args.index("--plans-dir")
+        plans_round = args[i + 1]
         del args[i : i + 2]
     names = args or list(QUERIES)
 
@@ -55,7 +62,7 @@ def main() -> int:
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     next(iter(QUERIES.values())).fn(spark, sf_dir).count()
 
-    plans_dir = os.path.join(REPO, "plans", "r14")
+    plans_dir = os.path.join(REPO, "plans", plans_round)
     if plans_tag:
         os.makedirs(plans_dir, exist_ok=True)
 
