@@ -126,17 +126,23 @@ class IvfIndex:
         three tables (overwrite). Returns the member count."""
         import numpy as np
 
+        from pyspark.sql import Observation
+
         cents = train_ivf_centroids(
             corpus, self.id_col, self.vec_col, self.n_centroids, self.lloyd_iters
         )
         members = ivf_assign(corpus, np.asarray(cents), self.id_col, self.vec_col)
+        # Member count via an Observation ON the write job itself: the
+        # count arrives with the write's task metrics — zero extra job,
+        # zero extra scan at any scale (r14 read the fresh parquet back
+        # for a footer-stat count: metadata-only but still a listing +
+        # schema + count job round, ~3 jobs on local[32]). ivf_assign
+        # emits one row per corpus row, so this IS the member count, and
+        # it is the same quantity staleness() compares against.
+        obs = Observation("ivf_build_n")
+        members = members.observe(obs, F.count(F.lit(1)).alias("n"))
         members.write.mode("overwrite").parquet(self._members_path)
-        # Plain row count over the fresh parquet: metadata-only (footer
-        # row counts — no data scan, no shuffle), and it is the same
-        # quantity staleness() compares against (n_now is a plain
-        # count too). ivf_assign emits one row per corpus row, so this
-        # IS the member count.
-        n = self.spark.read.parquet(self._members_path).count()
+        n = int(obs.get["n"])
         _local_df_1part(
             self.spark,
             [(int(i), [float(x) for x in c], n) for i, c in enumerate(cents)],
