@@ -603,12 +603,26 @@ def interval_join_sweep(
             # instead of building + comparing a key tuple per row. List
             # indexing in the loop beats numpy scalar indexing (which
             # boxes a fresh numpy scalar per access).
+            #
+            # Rows are split by marker BEFORE tuple materialization
+            # (ADVICE r14): an interval row only consumes its right-side
+            # payload and a probe row only its left columns, so building
+            # both tuple sets for every row threw away half the zip work
+            # — interval-heavy batches (the bucket-copy amplification)
+            # built left-row tuples that were never read. kind_pos maps
+            # a stream index to its row's position within its own kind.
             ts = pdf["__sw_t"].tolist()
-            marks = pdf["__sw_m"].tolist()
-            s_us = pdf["__sw_s"].tolist()
-            e_us = pdf["__sw_e"].tolist()
-            lrows = list(zip(*[pdf[c].tolist() for c in lcols]))
-            rrows = list(zip(*[pdf[c].tolist() for c in out_rcols]))
+            m_np = pdf["__sw_m"].to_numpy() == 0
+            ipdf = pdf[m_np]
+            ppdf = pdf[~m_np]
+            marks = m_np.tolist()  # True = interval copy, False = probe
+            kind_pos = np.where(
+                m_np, np.cumsum(m_np) - 1, np.cumsum(~m_np) - 1
+            ).tolist()
+            s_us = ipdf["__sw_s"].tolist()
+            e_us = ipdf["__sw_e"].tolist()
+            lrows = list(zip(*[ppdf[c].tolist() for c in lcols]))
+            rrows = list(zip(*[ipdf[c].tolist() for c in out_rcols]))
             bnd = np.zeros(n, dtype=bool)
             for k in keys:
                 np.logical_or(bnd[1:], k[1:] != k[:-1], out=bnd[1:])
@@ -625,8 +639,9 @@ def interval_join_sweep(
                 if newgrp[i]:
                     heap.clear()
                 t = ts[i]
-                if marks[i] == 0:  # interval copy: push candidate
-                    payload = rrows[i]
+                p = kind_pos[i]
+                if marks[i]:  # interval copy: push candidate
+                    payload = rrows[p]
                     tb = payload[tb_idx]
                     null_tb = tb is None or tb != tb  # None/NaN/NaT lose
                     # null tie-breaks get a CONSTANT ordkey (0): they sort
@@ -635,19 +650,19 @@ def interval_join_sweep(
                     # would raise on comparison.
                     ordkey = 0 if null_tb else (_Rev(tb) if desc else tb)
                     seq += 1
-                    e = int(e_us[i])
+                    e = int(e_us[p])
                     heappush(
                         heap,
-                        (null_tb, ordkey, -int(s_us[i]), -e, seq, e, payload),
+                        (null_tb, ordkey, -int(s_us[p]), -e, seq, e, payload),
                     )
                     continue
                 # probe: lazily evict heap tops dead at this (ascending) ts
                 while heap and heap[0][5] < t:
                     heappop(heap)
                 if heap:
-                    out_append(lrows[i] + heap[0][6])
+                    out_append(lrows[p] + heap[0][6])
                 elif not inner:
-                    out_append(lrows[i] + none_r)
+                    out_append(lrows[p] + none_r)
             if out:
                 yield pd.DataFrame(out, columns=[*lcols, *out_rcols])
 
