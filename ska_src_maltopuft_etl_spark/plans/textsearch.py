@@ -1398,21 +1398,24 @@ def hierarchy_rollup_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     max_key = o.agg(F.max("o_orderkey")).head()[0] or 1
     rounds = max(1, math.ceil(math.log2(max(2, len(str(max_key))))))
-    for _ in range(rounds):
+    for _round in range(rounds):
         hop = links.select(
             F.col("node").alias("j_node"),
             F.col("anc").alias("j_anc"),
             F.col("depth").alias("j_depth"),
         )
-        links = (
-            links.join(hop, links["anc"] == hop["j_node"], "left")
-            .select(
-                "node",
-                F.coalesce("j_anc", "anc").alias("anc"),
-                (F.col("depth") + F.coalesce("j_depth", F.lit(0))).alias("depth"),
-            )
-            .localCheckpoint(eager=False)
+        links = links.join(hop, links["anc"] == hop["j_node"], "left").select(
+            "node",
+            F.coalesce("j_anc", "anc").alias("anc"),
+            (F.col("depth") + F.coalesce("j_depth", F.lit(0))).alias("depth"),
         )
+        # Checkpoint BETWEEN rounds only: both of round r+1's references
+        # must read round r's result once, but the LAST round has a
+        # single consumer (the final aggregate), so a checkpoint there
+        # paid a planning pass + eager stage execution + a pin for
+        # nothing — the join folds into the query's own action instead.
+        if _round + 1 < rounds:
+            links = links.localCheckpoint(eager=False)
     return links.groupBy(F.col("depth").cast("long").alias("depth")).agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.count_distinct("anc").alias("n_roots"),
