@@ -115,8 +115,11 @@ class NearDupIndex:
             batch = batch.join(seen, id_col, "left_anti")
         # localCheckpoint: the append below reads self.path, which
         # `_existing` lineage also scans — materialize first so the
-        # write doesn't race its own input scan
-        batch = batch.localCheckpoint()
+        # write doesn't race its own input scan. Lazy: the n_new count
+        # below is the first action and materializes the pin (eager=True
+        # ran the identical computation in an extra prior job — r14/r15
+        # checkpoint-conversion discipline).
+        batch = batch.localCheckpoint(eager=False)
         n_new = batch.select(id_col).distinct().count()
         if n_new:
             batch.write.mode("append").parquet(self.path)
